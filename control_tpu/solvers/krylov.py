@@ -59,7 +59,10 @@ def _gmres_impl(A, b, x0, M, restart, rtol, atol, maxiter, flexible):
 
     r0 = residual(x)
     rnorm0 = _norm(r0)
-    tol = jnp.maximum(rtol * rnorm0, atol)
+    # PETSc KSPConvergedDefault: rtol is relative to the norm of the
+    # (preconditioned) right-hand side, not the initial residual.
+    bnorm = _norm(Mf(b_flat)) if not flexible else _norm(b_flat)
+    tol = jnp.maximum(rtol * bnorm, atol)
     hist = hist.at[0].set(rnorm0)
 
     def cycle_body(state):

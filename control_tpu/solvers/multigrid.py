@@ -1,0 +1,276 @@
+"""Geometric multigrid on structured meshes.
+
+The TPU-native stand-in for hypre BoomerAMG, which the reference applies as
+a black box to every stiffness-like block (one application, boomeramg
+max_iter 2; reference control/control.py:356-416,2056-2067).  Nested
+uniform refinement gives exact coarse-space embeddings for every element
+this framework supports (Q1/Q2 quads and P1/P2 triangle pairs -- the
+triangulation refines into itself), so we use:
+
+* prolongation  P  = per-coarse-cell tabulation of the coarse basis at fine
+  node positions (with multiplicity averaging on shared nodes),
+* restriction   R  = P^T,
+* coarse operators by Galerkin RAP computed directly on per-cell local
+  matrices (handles variable-coefficient and nonsymmetric operators --
+  convection-diffusion, Picard-linearised Navier-Stokes),
+* Chebyshev-Jacobi smoothing with a power-iteration bound,
+* a dense LU solve on the coarsest level.
+
+Everything is jnp-traceable: hierarchies build under ``jit``/``vmap`` (one
+hierarchy per time block of the all-at-once system, batched).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..fem import elements
+from ..fem.space import FunctionSpace
+from ..ops.local_op import LocalOp, MaskedOp, _global_indices
+
+
+# ---------------------------------------------------------------------------
+# static transfer tensors
+# ---------------------------------------------------------------------------
+
+def _child_embedding(cell, degree):
+    """P_k (4, nloc, nloc): coarse basis tabulated at the node positions of
+    child cell k (children ordered k = ky*2 + kx)."""
+    offs = elements.cell_node_offsets(degree)       # (nloc, 2) in child ref
+    Ps = []
+    for ky in (0, 1):
+        for kx in (0, 1):
+            pts = 0.5 * (offs + np.array([kx, ky]))  # coarse-ref coords
+            N, _ = elements.tabulate_scalar(cell, degree, pts)
+            Ps.append(N)                             # (nloc_fine, nloc_coarse)
+    return np.stack(Ps)
+
+
+def _cell_prolongation(cell, degree):
+    """(nfl, nc): coarse basis at the (2d+1)^2 fine-node positions of a
+    coarse cell (y-major ordering, matching a degree-2d virtual space)."""
+    d2 = 2 * degree
+    offs = elements.cell_node_offsets(d2)            # (nfl, 2)
+    N, _ = elements.tabulate_scalar(cell, degree, offs)
+    return N                                         # (nfl, nc)
+
+
+def _vec_block(P, dim):
+    """Blow up (m, n) to ((m*dim), (n*dim)) with interleaved components."""
+    m, n = P.shape
+    out = np.zeros((m * dim, n * dim))
+    for c in range(dim):
+        out[c::dim, c::dim] = P
+    return out
+
+
+class Transfer:
+    """Grid transfer between a degree-d space and its coarsened mesh."""
+
+    def __init__(self, fine_space):
+        mesh_c = fine_space.mesh.coarsen()
+        self.fine = fine_space
+        self.coarse = FunctionSpace(mesh_c, degree=fine_space.degree,
+                                    dim=fine_space.dim)
+        # virtual degree-2d space on the coarse mesh shares the fine grid
+        self.virt = FunctionSpace(mesh_c, degree=2 * fine_space.degree,
+                                  dim=fine_space.dim)
+        assert self.virt.grid_shape == fine_space.grid_shape
+        dtype = fine_space.mesh.dtype
+        P = _cell_prolongation(fine_space.mesh.cell, fine_space.degree)
+        self._P_cell = jnp.asarray(P, dtype)         # (nfl_s, nc_s) scalar
+        ones = jnp.ones((mesh_c.n_cells, self.virt.nloc), dtype)
+        self.mult = self.virt.scatter_add(ones)      # multiplicity grid
+        Pk = _child_embedding(fine_space.mesh.cell, fine_space.degree)
+        if fine_space.dim is not None:
+            Pk = np.stack([_vec_block(p, fine_space.dim) for p in Pk])
+        self._P_child = jnp.asarray(Pk, dtype)       # (4, nloc_f, nloc_c)
+
+    def _cellwise(self, M, xe):
+        """Apply scalar cell matrix M to gathered coeffs (componentwise for
+        vector spaces)."""
+        sp = self.fine
+        if sp.dim is None:
+            return jnp.einsum("fa,...ea->...ef", M, xe)
+        b = xe.shape[:-2] + (xe.shape[-2],)
+        xs = xe.reshape(xe.shape[:-1] + (-1, sp.dim))
+        out = jnp.einsum("fa,...eac->...efc", M, xs)
+        return out.reshape(out.shape[:-2] + (-1,))
+
+    def prolong(self, xc):
+        xe = self.coarse.gather(xc)
+        xf = self._cellwise(self._P_cell, xe)
+        return self.virt.scatter_add(xf) / self.mult
+
+    def restrict(self, rf):
+        re = self.virt.gather(rf / self.mult)
+        rc = self._cellwise(self._P_cell.T, re)
+        return self.coarse.scatter_add(rc)
+
+    def galerkin(self, A):
+        """Coarse local matrices from fine local matrices A (*, E_f, b, a)."""
+        mc = self.coarse.mesh
+        if A.shape[-3] == 1:
+            Af = jnp.broadcast_to(
+                A[..., None, :, :, :],
+                A.shape[:-3] + (4, 1) + A.shape[-2:])
+        else:
+            batch = A.shape[:-3]
+            A4 = A.reshape(batch + (mc.ny, 2, mc.nx, 2)
+                           + A.shape[-2:])
+            A4 = jnp.moveaxis(A4, (-5, -3), (-4, -3))  # (.., ny_c, nx_c, 2, 2, b, a)
+            A4 = A4.reshape(batch + (mc.n_cells, 4) + A.shape[-2:])
+            Af = jnp.moveaxis(A4, -3, -4)              # (.., 4, E_c, b, a)
+        # RAP per child: P_k^T A P_k summed over children
+        Ac = jnp.einsum("kfc,...kefg,kgd->...ecd", self._P_child, Af,
+                        self._P_child)
+        return Ac
+
+
+# ---------------------------------------------------------------------------
+# multigrid solver
+# ---------------------------------------------------------------------------
+
+def _power_lambda_max(apply_fn, diag, shape, dtype, iters=12):
+    """Estimate lambda_max of D^{-1} A by power iteration."""
+    key_free = jnp.arange(np.prod(shape), dtype=dtype).reshape(shape)
+    z = jnp.sin(key_free * 0.7) + 1.0e-2          # deterministic, non-smooth
+    z = z / jnp.sqrt(jnp.vdot(z, z))
+
+    def body(_, z):
+        w = apply_fn(z) / diag
+        return w / jnp.maximum(jnp.sqrt(jnp.vdot(w, w)), 1e-300)
+
+    z = lax.fori_loop(0, iters, body, z)
+    w = apply_fn(z) / diag
+    return jnp.vdot(z, w) / jnp.vdot(z, z)
+
+
+class Multigrid:
+    """Galerkin geometric multigrid V-cycle for a LocalOp (+ optional
+    Dirichlet mask).
+
+    ``solve(b, cycles=k)`` imitates the reference's
+    'preonly + boomeramg, max_iter k' building block.
+    """
+
+    def __init__(self, op, mask=None, *, levels=None, pre=2, post=2,
+                 coarse_max_dofs=3000, lam_frac=4.0, lam_safety=1.05):
+        if isinstance(op, MaskedOp):
+            mask = op.mask if mask is None else mask
+            op = op.op
+        space = op.trial_space
+        assert op.trial_space == op.test_space
+        self.pre, self.post = pre, post
+        self.lam_frac, self.lam_safety = lam_frac, lam_safety
+
+        # build level structure (static python loop)
+        self.spaces = [space]
+        self.transfers = []
+        sp = space
+        n_levels = 1
+        while (levels is None or n_levels < levels):
+            m = sp.mesh
+            if m.nx % 2 or m.ny % 2 or min(m.nx, m.ny) <= 2:
+                break
+            if levels is None and sp.n_dofs <= coarse_max_dofs:
+                break
+            tr = Transfer(sp)
+            self.transfers.append(tr)
+            sp = tr.coarse
+            self.spaces.append(sp)
+            n_levels += 1
+
+        # operators and masks per level
+        self.As = [op.A]
+        self.masks = [mask]
+        for tr in self.transfers:
+            self.As.append(tr.galerkin(self.As[-1]))
+            prev = self.masks[-1]
+            if prev is None:
+                self.masks.append(None)
+            else:
+                if space.dim is None:
+                    self.masks.append(prev[::2, ::2])
+                else:
+                    self.masks.append(prev[::2, ::2, :])
+
+        self.ops = []
+        for A, sp_l, mk in zip(self.As, self.spaces, self.masks):
+            o = LocalOp(A, sp_l, sp_l)
+            self.ops.append(MaskedOp(o, mk) if mk is not None else o)
+
+        # smoother data
+        self.diags = []
+        self.lams = []
+        for o, sp_l in zip(self.ops, self.spaces):
+            d = o.diag()
+            d = jnp.where(d == 0, 1.0, d)
+            self.diags.append(d)
+            lam = _power_lambda_max(o.apply, d, sp_l.grid_shape,
+                                    sp_l.mesh.dtype)
+            self.lams.append(lam)
+
+        # coarsest-level dense factorization
+        cop = self.ops[-1]
+        Ad = cop.to_dense()
+        self._lu = jax.scipy.linalg.lu_factor(Ad)
+        self._coarse_shape = self.spaces[-1].grid_shape
+
+    # -- smoothing --------------------------------------------------------
+    def _smooth(self, lvl, b, x, steps):
+        """Chebyshev-Jacobi smoothing targeting the upper part of the
+        spectrum of D^{-1}A."""
+        if steps == 0:
+            return x
+        op = self.ops[lvl]
+        d = self.diags[lvl]
+        lam = self.lams[lvl] * self.lam_safety
+        lmin = lam / self.lam_frac
+        theta = 0.5 * (lam + lmin)
+        delta = 0.5 * (lam - lmin)
+        sigma1 = theta / delta
+
+        r = b - op.apply(x)
+        p = (r / d) / theta
+        x = x + p
+        rho = 1.0 / sigma1
+        for _ in range(steps - 1):
+            r = b - op.apply(x)
+            rho_new = 1.0 / (2.0 * sigma1 - rho)
+            p = rho_new * rho * p + (2.0 * rho_new / delta) * (r / d)
+            x = x + p
+            rho = rho_new
+        return x
+
+    # -- cycles ------------------------------------------------------------
+    def _vcycle(self, lvl, b, x):
+        if lvl == len(self.ops) - 1:
+            bf = jnp.ravel(b)
+            xs = jax.scipy.linalg.lu_solve(self._lu, bf)
+            return xs.reshape(self._coarse_shape)
+        x = self._smooth(lvl, b, x, self.pre)
+        r = b - self.ops[lvl].apply(x)
+        tr = self.transfers[lvl]
+        rc = tr.restrict(r)
+        mk = self.masks[lvl + 1]
+        if mk is not None:
+            rc = jnp.where(mk, 0.0, rc)
+        ec = self._vcycle(lvl + 1, rc, jnp.zeros_like(rc))
+        if mk is not None:
+            ec = jnp.where(mk, 0.0, ec)
+        x = x + tr.prolong(ec)
+        x = self._smooth(lvl, b, x, self.post)
+        return x
+
+    def solve(self, b, x0=None, cycles=1):
+        """k V-cycles from x0 (default 0); the analogue of one application
+        of 'preonly + hypre boomeramg with max_iter = cycles'."""
+        x = jnp.zeros_like(b) if x0 is None else x0
+        for _ in range(cycles):
+            x = self._vcycle(0, b, x)
+        return x
+
+    def __call__(self, b):
+        return self.solve(b)

@@ -18,4 +18,6 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the env var alone does not override the axon TPU plugin; the config does
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
