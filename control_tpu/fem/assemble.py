@@ -264,7 +264,7 @@ class FunctionScalarView:
 # ---------------------------------------------------------------------------
 
 class _QCtx:
-    def __init__(self, mesh, nq1d, dtype):
+    def __init__(self, mesh, nq1d, dtype, coef_override=None):
         self.mesh = mesh
         self.dtype = dtype
         pts, w = elements.cell_quadrature(mesh.cell, nq1d)
@@ -274,6 +274,9 @@ class _QCtx:
         self._tab = {}
         self._coef = {}
         self._phys = None
+        # {id(Function): (E, nloc) element-local coefficient values} --
+        # used to differentiate assembly w.r.t. local dofs (Gauss-Newton)
+        self.coef_override = coef_override or {}
 
     def tab(self, space):
         key = (space.degree, space.dim)
@@ -313,7 +316,10 @@ class _QCtx:
         if key in self._coef:
             return self._coef[key]
         N, dN = self.tab(sp)
-        fe = sp.gather(f.data.astype(self.dtype))          # (E, nloc)
+        if id(f) in self.coef_override:
+            fe = self.coef_override[id(f)]
+        else:
+            fe = sp.gather(f.data.astype(self.dtype))      # (E, nloc)
         if sp.dim is None:
             out = (jnp.einsum("qad,ea->eqd", dN, fe) if deriv
                    else jnp.einsum("qa,ea->eq", N, fe))
@@ -454,6 +460,33 @@ def _form_spaces(form):
     for e, _ in form.integrals:
         visit(e)
     return spaces
+
+
+def element_tensor(form, quad_degree=None, coef_override=None):
+    """Per-element tensor of a form BEFORE scatter: (E|1, b) for linear
+    forms, (E|1, b, a) for bilinear.  ``coef_override`` maps id(Function) ->
+    (E, nloc) local coefficient values (differentiable; used for the
+    Gauss-Newton element Jacobians)."""
+    trial = form.trial_space()
+    test = form.test_space()
+    spaces = _form_spaces(form)
+    mesh = spaces[0].mesh
+    nq1d = (max(s.degree for s in spaces) + 2 if quad_degree is None
+            else quad_degree)
+    ctx = _QCtx(mesh, nq1d, mesh.dtype, coef_override=coef_override)
+    acc = None
+    for e, m in form.integrals:
+        if m is not dx and m.name != "dx":
+            raise NotImplementedError("only cell integrals (dx) supported")
+        v = _qeval(e, ctx)
+        if e.shape != ():
+            raise ValueError("integrand must be scalar")
+        acc = v if acc is None else acc + v
+    if trial is not None and test is not None:
+        return jnp.einsum("q,eqab->eba", ctx.w_phys, acc)
+    if test is not None:
+        return jnp.einsum("q,eqb->eb", ctx.w_phys, acc[:, :, 0, :])
+    raise ValueError("element_tensor needs a test function")
 
 
 def assemble(form, bcs=None, quad_degree=None,

@@ -1,0 +1,125 @@
+"""Shared machinery for the problem layer: per-block approximate solvers
+(the reference's ``LinearSolver(assemble(form, bcs), solver_parameters)``
+building blocks) and Picard / Gauss-Newton operator construction.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..fem.expr import Expr
+from ..fem.forms import Form
+from ..fem.space import Function, combine_masks
+from ..fem.assemble import assemble, element_tensor
+from ..ops.local_op import LocalOp, MaskedOp
+from ..solvers.multigrid import MGConfig
+from ..solvers.krylov import chebyshev
+
+
+def zero_rows(mask, b):
+    """bc.apply on a dual vector with homogeneous bcs."""
+    return jnp.where(mask, 0.0, b) if mask is not None else b
+
+
+class BlockSolver:
+    """One application of an approximate block inverse.
+
+    kind:
+      ("mg", cycles)          -- 'preonly + boomeramg, max_iter=cycles'
+      ("cheb", bounds, iters) -- 'chebyshev + jacobi' with spectral bounds
+      ("jacobi",)             -- 'preonly + jacobi'
+    Applies batched over arbitrary leading axes.
+    """
+
+    def __init__(self, op, mask, kind):
+        self.kind = kind
+        self.mask = mask
+        self.op = MaskedOp(op, mask) if mask is not None else op
+        if kind[0] == "mg":
+            inner = self.op.op if isinstance(self.op, MaskedOp) else self.op
+            self.config = MGConfig(inner.trial_space, mask)
+            self.params = self.config.build(inner.A)
+        else:
+            d = self.op.diag()
+            self.diag = jnp.where(d == 0, 1.0, d)
+
+    def __call__(self, b):
+        if self.kind[0] == "mg":
+            return self.config.apply(self.params, b, cycles=self.kind[1])
+        if self.kind[0] == "cheb":
+            _, bounds, iters = self.kind
+            return chebyshev(self.op.apply, b, bounds, iters,
+                             M=lambda r: r / self.diag)
+        return b / self.diag
+
+
+def mass_solver(M_op, mask, multigrid_flag, lambda_bounds):
+    """The reference's (1,1)-block solver selection
+    (control/control.py:356-394): BoomerAMG when Multigrid=True, Chebyshev
+    semi-iteration (20 its) with user bounds, else plain Jacobi."""
+    if multigrid_flag:
+        return BlockSolver(M_op, mask, ("mg", 2))
+    if lambda_bounds is not None:
+        return BlockSolver(M_op, mask, ("cheb", tuple(lambda_bounds), 20))
+    return BlockSolver(M_op, mask, ("jacobi",))
+
+
+# ---------------------------------------------------------------------------
+# Picard / Gauss-Newton operators
+# ---------------------------------------------------------------------------
+
+def picard_operator(form):
+    """Assemble a bilinear form (operator frozen at the current state) --
+    the reference's construct_D_v without Gauss_Newton
+    (control/control.py:314-317)."""
+    return assemble(form)
+
+
+def gauss_newton_operator(form_fn, space_v, v_fun, extra_args=()):
+    """Exact linearisation d/dv of the residual form -- the reference's
+    ``ufl.derivative(forward_form(trial, test, v), v, trial)``
+    (control/control.py:318-322), computed as element Jacobians by forward-
+    mode differentiation of the local assembly w.r.t. element-local dofs.
+
+    ``form_fn(trial, test, v, *extra_args)`` is evaluated with BOTH the
+    trial slot and the coefficient slot bound to ``v_fun`` (a Function whose
+    data is the linearisation state), giving the residual form N(v; test);
+    its derivative handles Picard-style and residual-style user forms alike.
+    """
+    test = _test_of(space_v)
+    form = form_fn(v_fun, test, v_fun, *extra_args)
+    if not isinstance(form, Form):
+        raise TypeError("forward operator must return a Form")
+    ve0 = space_v.gather(v_fun.data)
+    nloc = space_v.nloc
+
+    def res(ve):
+        return element_tensor(form, coef_override={id(v_fun): ve})
+
+    cols = []
+    for a in range(nloc):
+        tangent = jnp.zeros_like(ve0).at[:, a].set(1.0)
+        cols.append(jax.jvp(res, (ve0,), (tangent,))[1])
+    A = jnp.stack(cols, axis=-1)          # (E, b, a)
+    return LocalOp(A, space_v, space_v)
+
+
+def residual_vector(form_fn, space_v, v_fun, extra_args=()):
+    """Assemble the nonlinear residual N(v; test): the form with the trial
+    slot bound to the state (= action(D_v, v) for Picard-style forms)."""
+    test = _test_of(space_v)
+    form = form_fn(v_fun, test, v_fun, *extra_args)
+    return assemble(form)
+
+
+def _test_of(space):
+    from ..fem.expr import TestFunction
+    return TestFunction(space)
+
+
+def bc_lift_function(space, bcs):
+    """Function equal to the (inhomogeneous) bc values on the boundary, 0
+    inside (the reference's v_inhom; control/control.py:521-523)."""
+    v = Function(space)
+    for bc in bcs:
+        v.data = jnp.where(bc.mask, bc.g, v.data)
+    return v

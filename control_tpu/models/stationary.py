@@ -1,0 +1,584 @@
+"""Stationary PDE-constrained optimal control problems.
+
+TPU-native rebuild of ``Control.Stationary``
+(reference control/control.py:100-1487): the first-order optimality (KKT)
+system
+
+    [ M_v    D_zeta^T ] [v   ]   [ v_d ]
+    [ D_v   -(1/b) M  ] [zeta] = [ f   ]
+
+is solved matrix-free with a jit-compiled preconditioned Krylov method; the
+built-in preconditioner is block-triangular with the Pearson-Wathen
+matching-Schur approximation S ~ (D + b^{-1/2}M) M^{-1} (D^T + b^{-1/2}M)
+(reference control/control.py:351-450), with geometric multigrid standing in
+for hypre BoomerAMG and a Chebyshev semi-iteration for the mass solves.
+Incompressible (Stokes/Navier-Stokes) variants add the divergence
+constraint blocks and the nested pressure-Schur preconditioner with an
+inner fixed-5-iteration GMRES (reference control/control.py:802-1487).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..fem.expr import TrialFunction, TestFunction, inner, grad, div
+from ..fem.forms import dx, Form
+from ..fem.space import (Function, Cofunction, DirichletBC, homogenize,
+                         combine_masks, _SubView)
+from ..fem.assemble import assemble
+from ..ops.local_op import LocalOp
+from ..solvers.block import (MultiBlockSystem, DirichletBCNullspace,
+                             NoneNullspace)
+from ..utils import io as _io
+from .common import (BlockSolver, mass_solver, zero_rows, picard_operator,
+                     gauss_newton_operator, residual_vector,
+                     bc_lift_function)
+
+
+def _as_bcs_tuple(bcs):
+    if bcs is None:
+        return ()
+    if isinstance(bcs, DirichletBC):
+        return (bcs,)
+    return tuple(bcs)
+
+
+class Stationary:
+    """See module docstring.  API mirrors the reference constructor
+    (control/control.py:101-104); both ``force_f`` (documented name,
+    README.md:63) and ``force_function`` are accepted."""
+
+    def __init__(self, space_v, forward_form, desired_state=None,
+                 force_f=None, *, beta=10.0**-3, space_p=None,
+                 Gauss_Newton=False, bcs_v=None, force_function=None):
+        bcs_v = _as_bcs_tuple(bcs_v)
+        if force_f is None:
+            force_f = force_function
+
+        v_test, v_trial = TestFunction(space_v), TrialFunction(space_v)
+
+        if desired_state is None:
+            def desired_state(test_v):
+                v_d = Function(space_v, name="v_d")
+                return inner(v_d, test_v) * dx, v_d
+        if force_f is None:
+            def force_f(test_v):
+                f = Function(space_v, name="f")
+                return inner(f, test_v) * dx
+
+        self._space_v = space_v
+        self._space_p = space_p
+        self._forward_form = forward_form
+        self._desired_state = desired_state
+        self._force_function = force_f
+        self._beta = beta
+        self._bcs_v = bcs_v
+        self._Gauss_Newton = Gauss_Newton
+
+        self._M_v = inner(v_trial, v_test) * dx
+        self._M_zeta = inner(v_trial, v_test) * dx
+
+        v = Function(space_v, name="v")
+        for bc in bcs_v:
+            bc.apply(v)
+        self._v = v
+        self._zeta = Function(space_v, name="zeta")
+
+        if space_p is not None:
+            p_test, p_trial = TestFunction(space_p), TrialFunction(space_p)
+            self._M_p = inner(p_trial, p_test) * dx
+            self._M_mu = inner(p_trial, p_test) * dx
+            self._p = Function(space_p, name="p")
+            self._mu = Function(space_p, name="mu")
+        else:
+            self._M_p = None
+            self._M_mu = None
+
+        self._true_v = None
+
+    # ---------------------------------------------------------------- setters
+    def set_space_v(self, space_v, *, v=None, zeta=None, bcs_v_new=False,
+                    bcs_v=None):
+        self._space_v = space_v
+        v_test, v_trial = TestFunction(space_v), TrialFunction(space_v)
+        self._M_v = inner(v_trial, v_test) * dx
+        self._M_zeta = inner(v_trial, v_test) * dx
+        if v is None:
+            v = Function(space_v, name="v").interpolate(self._v)
+        elif v.function_space() != space_v:
+            raise ValueError("Unexpected space")
+        if bcs_v_new:
+            self._bcs_v = _as_bcs_tuple(bcs_v)
+        for bc in self._bcs_v:
+            bc.apply(v)
+        if zeta is None:
+            zeta = Function(space_v, name="zeta").interpolate(self._zeta)
+        elif zeta.function_space() != space_v:
+            raise ValueError("Unexpected space")
+        else:
+            for bc in homogenize(self._bcs_v):
+                bc.apply(zeta)
+        self._v, self._zeta = v, zeta
+
+    def set_space_p(self, space_p, *, p=None, mu=None):
+        self._space_p = space_p
+        p_test, p_trial = TestFunction(space_p), TrialFunction(space_p)
+        self._M_p = inner(p_trial, p_test) * dx
+        self._M_mu = inner(p_trial, p_test) * dx
+        self._p = p if p is not None else Function(space_p, name="p")
+        self._mu = mu if mu is not None else Function(space_p, name="mu")
+
+    def set_forward_form(self, forward_form):
+        self._forward_form = forward_form
+
+    def set_desired_state(self, desired_state):
+        self._desired_state = desired_state
+
+    def set_force_function(self, force_function):
+        self._force_function = force_function
+
+    def set_beta(self, beta):
+        self._beta = beta
+
+    def set_bcs_v(self, bcs_v, space_v=None):
+        if space_v is None:
+            self._bcs_v = _as_bcs_tuple(bcs_v)
+        else:
+            self.set_space_v(space_v, bcs_v_new=True, bcs_v=bcs_v)
+
+    def set_Gauss_Newton(self, Gauss_Newton=True):
+        self._Gauss_Newton = Gauss_Newton
+
+    def set_v(self, v_new):
+        if v_new.function_space() != self._space_v:
+            raise ValueError("Unexpected space")
+        h = Function(self._space_v, data=v_new.data)
+        for bc in self._bcs_v:
+            bc.apply(h)
+        self._v.assign(h)
+
+    def set_zeta(self, zeta_new):
+        if zeta_new.function_space() != self._space_v:
+            raise ValueError("Unexpected space")
+        h = Function(self._space_v, data=zeta_new.data)
+        for bc in homogenize(self._bcs_v):
+            bc.apply(h)
+        self._zeta.assign(h)
+
+    def set_p(self, p_new):
+        if self._space_p is None:
+            raise ValueError("Undefined space_p: unable to assign value")
+        self._p.assign(p_new)
+
+    def set_mu(self, mu_new):
+        if self._space_p is None:
+            raise ValueError("Undefined space_p: unable to assign value")
+        self._mu.assign(mu_new)
+
+    def print_error(self):
+        err = self._v - self._true_v
+        e = float(jnp.sqrt(jnp.abs(assemble(inner(err, err) * dx))))
+        print(f"Estimated error in the L2-norm: {e:.16e}")
+
+    # ------------------------------------------------------------- operators
+    def construct_D_v(self, v_old):
+        """(D_v, D_zeta) LocalOps at linearisation state v_old
+        (reference control/control.py:314-324)."""
+        if not self._Gauss_Newton:
+            v_test = TestFunction(self._space_v)
+            v_trial = TrialFunction(self._space_v)
+            D_v = picard_operator(
+                self._forward_form(v_trial, v_test, v_old))
+        else:
+            D_v = gauss_newton_operator(self._forward_form, self._space_v,
+                                        v_old)
+        return D_v, D_v.T
+
+    def _residual_term(self, v_old):
+        """N(v_old) as a dual vector (= action(D_v, v_old) for Picard-style
+        forms)."""
+        return residual_vector(self._forward_form, self._space_v, v_old)
+
+    # ---------------------------------------------------- rhs construction
+    def _setup_bcs(self):
+        inhom = any(not bc.is_homogeneous for bc in self._bcs_v)
+        bcs_v = homogenize(self._bcs_v) if inhom else self._bcs_v
+        return inhom, bcs_v, self._bcs_v
+
+    def construct_f(self, inhom, D_v, v_inhom, mask):
+        v_test = TestFunction(self._space_v)
+        f = assemble(self._force_function(v_test))
+        if inhom:
+            f.data = zero_rows(mask, f.data - D_v.apply(v_inhom.data))
+        return f
+
+    def construct_v_d(self, M_v, inhom, v_inhom, mask):
+        v_test = TestFunction(self._space_v)
+        v_d_form, true_v = self._desired_state(v_test)
+        self._true_v = true_v
+        v_d = assemble(v_d_form)
+        if inhom:
+            v_d.data = zero_rows(mask, v_d.data - M_v.apply(v_inhom.data))
+        return v_d
+
+    # ------------------------------------------------------- preconditioner
+    def construct_pc(self, Multigrid, lambda_v_bounds, mask_v, mask_zeta,
+                     D_v, D_zeta, M_v):
+        """Block-triangular matching-Schur preconditioner
+        (reference control/control.py:351-450)."""
+        beta = self._beta
+        shift = 1.0 / beta ** 0.5
+        solver_0 = mass_solver(M_v, mask_v, Multigrid, lambda_v_bounds)
+        solver_1 = BlockSolver(D_v + shift * M_v, mask_zeta, ("mg", 2))
+        solver_2 = BlockSolver(D_zeta + shift * M_v, mask_zeta, ("mg", 2))
+
+        def pc_linear(b_0, b_1):
+            u_0 = solver_0(b_0)
+            b = D_v.apply(u_0) - b_1
+            b = zero_rows(mask_zeta, b)
+            u_1 = solver_1(b)
+            b = zero_rows(mask_zeta, M_v.apply(u_1))
+            u_1 = solver_2(b)
+            return u_0, u_1
+
+        return pc_linear
+
+    # ---------------------------------------------------------- linear solve
+    def linear_solve(self, *, P=None, solver_parameters=None,
+                     Multigrid=False, lambda_v_bounds=None, v_d=None,
+                     f=None, print_error=True, create_output=True,
+                     plots=False):
+        space_v = self._space_v
+        inhom, bcs_v, bcs_v_help = self._setup_bcs()
+        bcs_zeta = bcs_v
+        mask = combine_masks(space_v, bcs_v) if bcs_v else None
+
+        nullspace_v = (DirichletBCNullspace(bcs_v) if bcs_v
+                       else NoneNullspace())
+        nullspace_zeta = (DirichletBCNullspace(bcs_zeta) if bcs_zeta
+                          else NoneNullspace())
+
+        beta = self._beta
+        v_old = Function(space_v, name="v_old", data=self._v.data)
+        D_v, D_zeta = self.construct_D_v(v_old)
+        M_v = assemble(self._M_v)
+
+        v_inhom = bc_lift_function(space_v, bcs_v_help) if inhom else None
+
+        if f is None:
+            f = self.construct_f(inhom, D_v, v_inhom, mask)
+        if v_d is None:
+            v_d = self.construct_v_d(M_v, inhom, v_inhom, mask)
+
+        if P is None:
+            pc_fn1 = self.construct_pc(Multigrid, lambda_v_bounds,
+                                       mask, mask, D_v, D_zeta, M_v)
+
+            def pc_fn(b0, b1):
+                u0, u1 = pc_fn1(b0[0], b1[0])
+                return u0[None], u1[None]
+        else:
+            pc_fn = P
+
+        system = MultiBlockSystem(
+            space_v, space_v,
+            block_00={(0, 0): M_v}, block_01={(0, 0): D_zeta},
+            block_10={(0, 0): D_v},
+            block_11={(0, 0): -(1.0 / beta) * assemble(self._M_zeta)},
+            nullspace_0=(nullspace_v,), nullspace_1=(nullspace_zeta,))
+
+        if solver_parameters is None:
+            solver_parameters = {"linear_solver": "gmres",
+                                 "gmres_restart": 10,
+                                 "maximum_iterations": 50,
+                                 "relative_tolerance": 1.0e-6,
+                                 "absolute_tolerance": 0.0,
+                                 "monitor_convergence": print_error}
+
+        v = Function(space_v, name="v")
+        zeta = Function(space_v, name="zeta")
+        info = system.solve(v, zeta, v_d, f,
+                            solver_parameters=solver_parameters,
+                            pc_fn=pc_fn)
+        self.last_solve_info = info
+
+        if inhom:
+            v.data = v.data + v_inhom.data
+        self.set_v(v)
+        self.set_zeta(zeta)
+
+        if create_output:
+            _io.write_solution("v", v)
+            _io.write_solution("zeta", zeta)
+        if plots:
+            _io.plot_fields(v=v, zeta=zeta, true_v=self._true_v)
+        if print_error:
+            self.print_error()
+
+    # ------------------------------------------------------- nonlinear solve
+    def non_linear_res_eval(self, v_d, f, v_old, zeta_old, D_zeta,
+                            mask_v, mask_zeta):
+        """KKT residual at (v_old, zeta_old)
+        (reference control/control.py:452-487)."""
+        beta = self._beta
+        M_v = assemble(self._M_v)
+        rhs_0 = Cofunction(self._space_v, name="rhs_0")
+        rhs_1 = Cofunction(self._space_v, name="rhs_1")
+        rhs_0.data = (v_d.data - M_v.apply(v_old.data)
+                      - D_zeta.apply(zeta_old.data))
+        rhs_1.data = (f.data - self._residual_term(v_old).data
+                      + (1.0 / beta) * M_v.apply(zeta_old.data))
+        rhs_0.data = zero_rows(mask_v, rhs_0.data)
+        rhs_1.data = zero_rows(mask_zeta, rhs_1.data)
+        return rhs_0, rhs_1
+
+    def non_linear_solve(self, *, P=None, solver_parameters=None,
+                         Multigrid=False, lambda_v_bounds=None,
+                         max_non_linear_iter=10,
+                         relative_non_linear_tol=10.0**-5,
+                         absolute_non_linear_tol=10.0**-8,
+                         print_error_linear=False,
+                         print_error_non_linear=True,
+                         create_output=True, plots=False):
+        """Picard (or Gauss-Newton) outer loop
+        (reference control/control.py:630-800)."""
+        space_v = self._space_v
+        inhom, bcs_v, bcs_v_help = self._setup_bcs()
+        bcs_zeta = bcs_v
+        mask = combine_masks(space_v, bcs_v) if bcs_v else None
+
+        v_old = Function(space_v, name="v_old", data=self._v.data)
+        zeta_old = Function(space_v, name="zeta_old", data=self._zeta.data)
+
+        v_test = TestFunction(space_v)
+        f = assemble(self._force_function(v_test))
+        v_d_form, true_v = self._desired_state(v_test)
+        self._true_v = true_v
+        v_d = assemble(v_d_form)
+
+        _, D_zeta = self.construct_D_v(v_old)
+        rhs_0, rhs_1 = self.non_linear_res_eval(
+            v_d, f, v_old, zeta_old, D_zeta, mask, mask)
+
+        def _norm(a, b):
+            return float(jnp.sqrt(jnp.vdot(a.data, a.data)
+                                  + jnp.vdot(b.data, b.data)))
+
+        norm_0 = _norm(rhs_0, rhs_1)
+        norm_k = norm_0
+        k = 0
+        print(f"Initial non-linear residual: {norm_0:.16e}")
+
+        while (norm_k > relative_non_linear_tol * norm_0
+               and norm_k > absolute_non_linear_tol):
+            self.linear_solve(P=P, solver_parameters=solver_parameters,
+                              Multigrid=Multigrid,
+                              lambda_v_bounds=lambda_v_bounds,
+                              v_d=rhs_0, f=rhs_1,
+                              print_error=print_error_linear,
+                              create_output=False, plots=False)
+            # linear_solve left deltas in self._v/zeta; accumulate
+            v_old.data = v_old.data + self._v.data
+            if inhom:
+                for bc in bcs_v_help:
+                    bc.apply(v_old)
+            self.set_v(v_old)
+            v_old.data = self._v.data
+
+            zeta_old.data = zeta_old.data + self._zeta.data
+            for bc in bcs_zeta:
+                bc.apply(zeta_old)
+            self.set_zeta(zeta_old)
+            zeta_old.data = self._zeta.data
+
+            _, D_zeta = self.construct_D_v(v_old)
+            rhs_0, rhs_1 = self.non_linear_res_eval(
+                v_d, f, v_old, zeta_old, D_zeta, mask, mask)
+            norm_k = _norm(rhs_0, rhs_1)
+            k += 1
+            print(f"Non-linear solver: iteration {k:d}, "
+                  f"non-linear residual norm {norm_k:.16e}")
+            if k + 1 > max_non_linear_iter:
+                break
+
+        if print_error_non_linear:
+            if (norm_k < relative_non_linear_tol * norm_0
+                    or norm_k < absolute_non_linear_tol):
+                print(f"Relative non-linear residual: {norm_k / norm_0:.16e}")
+                print(f"Absolute non-linear residual: {norm_k:.16e}")
+                print(f"Number of non-linear iterations: {k:d}")
+            else:
+                print("The non-linear iteration did not converge")
+                print(f"Relative non-linear residual: {norm_k / norm_0:.16e}")
+                print(f"Absolute non-linear residual: {norm_k:.16e}")
+            self.print_error()
+
+        if create_output:
+            _io.write_solution("v", self._v)
+            _io.write_solution("zeta", self._zeta)
+        if plots:
+            _io.plot_fields(v=self._v, zeta=self._zeta, true_v=self._true_v)
+
+    # --------------------------------------------- incompressible (Stokes/NS)
+    def incompressible_linear_solve(self, nullspace_p, *, space_p=None,
+                                    P=None, solver_parameters=None,
+                                    Multigrid=False, lambda_v_bounds=None,
+                                    lambda_p_bounds=None,
+                                    v_d=None, f=None, div_v=None,
+                                    div_zeta=None, print_error=True,
+                                    create_output=True, plots=False):
+        """Velocity-pressure KKT solve with the nested preconditioner
+        (reference control/control.py:802-1201): inner 5-iteration GMRES on
+        the velocity KKT + pressure Schur K_p^{-1} (KKT_p) M_p^{-1}."""
+        space_v = self._space_v
+        if space_p is None:
+            if self._space_p is None:
+                raise ValueError("Undefined space_p")
+            space_p = self._space_p
+        else:
+            self.set_space_p(space_p)
+
+        inhom, bcs_v, bcs_v_help = self._setup_bcs()
+        bcs_zeta = bcs_v
+        mask = combine_masks(space_v, bcs_v) if bcs_v else None
+
+        nullspace_v = (DirichletBCNullspace(bcs_v) if bcs_v
+                       else NoneNullspace())
+        nullspace_zeta = (DirichletBCNullspace(bcs_zeta) if bcs_zeta
+                          else NoneNullspace())
+
+        beta = self._beta
+        v_old = Function(space_v, name="v_old", data=self._v.data)
+        D_v, D_zeta = self.construct_D_v(v_old)
+        M_v = assemble(self._M_v)
+        M_zeta_op = -(1.0 / beta) * assemble(self._M_zeta)
+
+        v_trial = TrialFunction(space_v)
+        v_test = TestFunction(space_v)
+        p_trial = TrialFunction(space_p)
+        p_test = TestFunction(space_p)
+        B = assemble(-inner(div(v_trial), p_test) * dx)
+        B_T = assemble(-inner(p_trial, div(v_test)) * dx)
+
+        v_inhom = bc_lift_function(space_v, bcs_v_help) if inhom else None
+
+        if f is None:
+            f = self.construct_f(inhom, D_v, v_inhom, mask)
+        if v_d is None:
+            v_d = self.construct_v_d(M_v, inhom, v_inhom, mask)
+        if div_v is None:
+            div_v = Cofunction(space_p)
+            if inhom:
+                div_v.data = -B.apply(v_inhom.data)
+        if div_zeta is None:
+            div_zeta = Cofunction(space_p)
+
+        b_0 = jnp.stack([v_d.data, f.data])
+        b_1 = jnp.stack([div_v.data, div_zeta.data])
+
+        system = MultiBlockSystem(
+            space_v, space_p,
+            block_00={(0, 0): M_v, (0, 1): D_zeta,
+                      (1, 0): D_v, (1, 1): M_zeta_op},
+            block_01={(0, 0): B_T, (1, 1): B_T},
+            block_10={(0, 0): B, (1, 1): B},
+            block_11={},
+            n_blocks_00=2, n_blocks_11=2,
+            nullspace_0=(nullspace_v, nullspace_zeta),
+            nullspace_1=(nullspace_p, nullspace_p))
+
+        if P is None:
+            if self._Gauss_Newton:
+                raise NotImplementedError(
+                    "built-in incompressible preconditioner requires the "
+                    "Picard operator; pass P= for Gauss-Newton")
+            inner_system = MultiBlockSystem(
+                space_v, space_v,
+                block_00={(0, 0): M_v}, block_01={(0, 0): D_zeta},
+                block_10={(0, 0): D_v}, block_11={(0, 0): M_zeta_op},
+                nullspace_0=(nullspace_v,), nullspace_1=(nullspace_zeta,))
+            inner_pc1 = self.construct_pc(Multigrid, lambda_v_bounds,
+                                          mask, mask, D_v, D_zeta, M_v)
+
+            def inner_pc(b0, b1):
+                u0, u1 = inner_pc1(b0[0], b1[0])
+                return u0[None], u1[None]
+
+            inner_solve = inner_system.solve_fn(
+                solver_parameters={"preconditioner": True,
+                                   "linear_solver": "gmres",
+                                   "maximum_iterations": 5,
+                                   "relative_tolerance": 0.0,
+                                   "absolute_tolerance": 0.0,
+                                   "gmres_restart": 30},
+                pc_fn=inner_pc)
+
+            K_p = assemble(inner(grad(p_trial), grad(p_test)) * dx)
+            M_p = assemble(inner(p_trial, p_test) * dx)
+            solver_K_p = BlockSolver(K_p, None, ("mg", 1))
+            solver_M_p = mass_solver(M_p, None, False, lambda_p_bounds)
+
+            D_p = picard_operator(
+                self._forward_form(p_trial, p_test, v_old))
+            D_mu = D_p.T
+            M_p_op = assemble(self._M_p) if self._M_p is not None else M_p
+            M_mu_op = (-(1.0 / beta) * assemble(self._M_mu)
+                       if self._M_mu is not None else -(1.0 / beta) * M_p)
+
+            def pc_fn(b_0, b_1):
+                z = jnp.zeros_like(b_0[0])
+                u0v, u0z, _ = inner_solve(z[None], z[None],
+                                          b_0[0][None], b_0[1][None])
+                v_help, zeta_help = u0v[0], u0z[0]
+                u_0 = jnp.stack([v_help, zeta_help])
+                b0h = B.apply(v_help) - b_1[0]
+                b1h = B.apply(zeta_help) - b_1[1]
+                u10 = solver_K_p(b0h)
+                u11 = solver_K_p(b1h)
+                c0 = M_p_op.apply(u10) + D_mu.apply(u11)
+                c1 = D_p.apply(u10) + M_mu_op.apply(u11)
+                u10 = solver_M_p(c0)
+                u11 = solver_M_p(c1)
+                return u_0, jnp.stack([u10, u11])
+        else:
+            pc_fn = P
+
+        if solver_parameters is None:
+            solver_parameters = {"linear_solver": "fgmres",
+                                 "fgmres_restart": 10,
+                                 "maximum_iterations": 50,
+                                 "relative_tolerance": 1.0e-6,
+                                 "absolute_tolerance": 0.0,
+                                 "monitor_convergence": print_error}
+
+        from ..fem.space import MixedFunction
+        u_0_sol = MixedFunction(space_v, 2)
+        u_1_sol = MixedFunction(space_p, 2)
+        info = system.solve(u_0_sol, u_1_sol, b_0, b_1,
+                            solver_parameters=solver_parameters,
+                            pc_fn=pc_fn)
+        self.last_solve_info = info
+
+        v = Function(space_v, name="v")
+        zeta = Function(space_v, name="zeta")
+        p = Function(space_p, name="p")
+        mu = Function(space_p, name="mu")
+        v.data, zeta.data = u_0_sol.data[0], u_0_sol.data[1]
+        mu.data, p.data = u_1_sol.data[0], u_1_sol.data[1]
+
+        if inhom:
+            v.data = v.data + v_inhom.data
+        self.set_v(v)
+        self.set_zeta(zeta)
+        self.set_p(p)
+        self.set_mu(mu)
+
+        if create_output:
+            _io.write_solution("v", v)
+            _io.write_solution("zeta", zeta)
+            _io.write_solution("p", p)
+            _io.write_solution("mu", mu)
+        if plots:
+            _io.plot_fields(v=v, zeta=zeta, p=p, mu=mu,
+                            true_v=self._true_v)
+        if print_error:
+            self.print_error()

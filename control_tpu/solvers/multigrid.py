@@ -132,40 +132,36 @@ class Transfer:
 # multigrid solver
 # ---------------------------------------------------------------------------
 
-def _power_lambda_max(apply_fn, diag, shape, dtype, iters=12):
-    """Estimate lambda_max of D^{-1} A by power iteration."""
-    key_free = jnp.arange(np.prod(shape), dtype=dtype).reshape(shape)
-    z = jnp.sin(key_free * 0.7) + 1.0e-2          # deterministic, non-smooth
-    z = z / jnp.sqrt(jnp.vdot(z, z))
+def _gershgorin_lambda_max(op, diag):
+    """Guaranteed upper bound on the spectrum of D^{-1} A via Gershgorin row
+    sums, computed from per-cell local matrices (a power-iteration estimate
+    can undershoot and make Chebyshev smoothing divergent)."""
+    inner = op.op if isinstance(op, MaskedOp) else op
+    sp = inner.test_space
+    E = sp.mesh.n_cells
+    rs = jnp.sum(jnp.abs(inner.A), axis=-1)          # (E|1, b)
+    rs = jnp.broadcast_to(rs, rs.shape[:-2] + (E, rs.shape[-1]))
+    rowsum = sp.scatter_add(rs)
+    if isinstance(op, MaskedOp):
+        rowsum = jnp.where(op.mask, jnp.abs(diag), rowsum)
+    return jnp.max(rowsum / jnp.abs(diag))
 
-    def body(_, z):
-        w = apply_fn(z) / diag
-        return w / jnp.maximum(jnp.sqrt(jnp.vdot(w, w)), 1e-300)
 
-    z = lax.fori_loop(0, iters, body, z)
-    w = apply_fn(z) / diag
-    return jnp.vdot(z, w) / jnp.vdot(z, z)
+class MGConfig:
+    """Static multigrid structure for one (space, mask) pair.
 
-
-class Multigrid:
-    """Galerkin geometric multigrid V-cycle for a LocalOp (+ optional
-    Dirichlet mask).
-
-    ``solve(b, cycles=k)`` imitates the reference's
-    'preonly + boomeramg, max_iter k' building block.
+    Split into a static config and a params pytree so hierarchies can be
+    built under ``vmap`` (one per time block of the all-at-once system;
+    the reference instead re-runs BoomerAMG setup per block per pc
+    application, control/control.py:2056-2067) and consumed inside
+    ``lax.scan`` sweeps.
     """
 
-    def __init__(self, op, mask=None, *, levels=None, pre=2, post=2,
+    def __init__(self, space, mask=None, *, levels=None, pre=2, post=2,
                  coarse_max_dofs=3000, lam_frac=4.0, lam_safety=1.05):
-        if isinstance(op, MaskedOp):
-            mask = op.mask if mask is None else mask
-            op = op.op
-        space = op.trial_space
-        assert op.trial_space == op.test_space
         self.pre, self.post = pre, post
         self.lam_frac, self.lam_safety = lam_frac, lam_safety
 
-        # build level structure (static python loop)
         self.spaces = [space]
         self.transfers = []
         sp = space
@@ -182,56 +178,49 @@ class Multigrid:
             self.spaces.append(sp)
             n_levels += 1
 
-        # operators and masks per level
-        self.As = [op.A]
         self.masks = [mask]
-        for tr in self.transfers:
-            self.As.append(tr.galerkin(self.As[-1]))
+        for _ in self.transfers:
             prev = self.masks[-1]
             if prev is None:
                 self.masks.append(None)
+            elif space.dim is None:
+                self.masks.append(prev[::2, ::2])
             else:
-                if space.dim is None:
-                    self.masks.append(prev[::2, ::2])
-                else:
-                    self.masks.append(prev[::2, ::2, :])
+                self.masks.append(prev[::2, ::2, :])
 
-        self.ops = []
-        for A, sp_l, mk in zip(self.As, self.spaces, self.masks):
+    def _ops(self, As):
+        ops = []
+        for A, sp_l, mk in zip(As, self.spaces, self.masks):
             o = LocalOp(A, sp_l, sp_l)
-            self.ops.append(MaskedOp(o, mk) if mk is not None else o)
+            ops.append(MaskedOp(o, mk) if mk is not None else o)
+        return ops
 
-        # smoother data
-        self.diags = []
-        self.lams = []
-        for o, sp_l in zip(self.ops, self.spaces):
+    def build(self, A):
+        """Params pytree for fine-level local matrices ``A`` (E, b, a)."""
+        As = [A]
+        for tr in self.transfers:
+            As.append(tr.galerkin(As[-1]))
+        ops = self._ops(As)
+        diags, lams = [], []
+        for o, sp_l in zip(ops, self.spaces):
             d = o.diag()
             d = jnp.where(d == 0, 1.0, d)
-            self.diags.append(d)
-            lam = _power_lambda_max(o.apply, d, sp_l.grid_shape,
-                                    sp_l.mesh.dtype)
-            self.lams.append(lam)
+            diags.append(d)
+            lams.append(_gershgorin_lambda_max(o, d))
+        Ad = ops[-1].to_dense()
+        lu = jax.scipy.linalg.lu_factor(Ad)
+        return {"As": As, "diags": diags, "lams": jnp.stack(lams),
+                "lu": lu}
 
-        # coarsest-level dense factorization
-        cop = self.ops[-1]
-        Ad = cop.to_dense()
-        self._lu = jax.scipy.linalg.lu_factor(Ad)
-        self._coarse_shape = self.spaces[-1].grid_shape
-
-    # -- smoothing --------------------------------------------------------
-    def _smooth(self, lvl, b, x, steps):
-        """Chebyshev-Jacobi smoothing targeting the upper part of the
-        spectrum of D^{-1}A."""
+    # -- application --------------------------------------------------------
+    def _smooth(self, op, d, lam, b, x, steps):
         if steps == 0:
             return x
-        op = self.ops[lvl]
-        d = self.diags[lvl]
-        lam = self.lams[lvl] * self.lam_safety
+        lam = lam * self.lam_safety
         lmin = lam / self.lam_frac
         theta = 0.5 * (lam + lmin)
         delta = 0.5 * (lam - lmin)
         sigma1 = theta / delta
-
         r = b - op.apply(x)
         p = (r / d) / theta
         x = x + p
@@ -244,33 +233,57 @@ class Multigrid:
             rho = rho_new
         return x
 
-    # -- cycles ------------------------------------------------------------
-    def _vcycle(self, lvl, b, x):
-        if lvl == len(self.ops) - 1:
-            bf = jnp.ravel(b)
-            xs = jax.scipy.linalg.lu_solve(self._lu, bf)
-            return xs.reshape(self._coarse_shape)
-        x = self._smooth(lvl, b, x, self.pre)
-        r = b - self.ops[lvl].apply(x)
+    def _vcycle(self, params, ops, lvl, b, x):
+        if lvl == len(ops) - 1:
+            gs = self.spaces[-1].grid_shape
+            batch = b.shape[:-len(gs)]
+            bf = b.reshape(batch + (-1,))
+            if batch:
+                bf2 = jnp.moveaxis(bf.reshape((-1, bf.shape[-1])), 0, -1)
+                xs = jax.scipy.linalg.lu_solve(params["lu"], bf2)
+                xs = jnp.moveaxis(xs, -1, 0).reshape(batch + (-1,))
+            else:
+                xs = jax.scipy.linalg.lu_solve(params["lu"], bf)
+            return xs.reshape(b.shape)
+        x = self._smooth(ops[lvl], params["diags"][lvl],
+                         params["lams"][lvl], b, x, self.pre)
+        r = b - ops[lvl].apply(x)
         tr = self.transfers[lvl]
         rc = tr.restrict(r)
         mk = self.masks[lvl + 1]
         if mk is not None:
             rc = jnp.where(mk, 0.0, rc)
-        ec = self._vcycle(lvl + 1, rc, jnp.zeros_like(rc))
+        ec = self._vcycle(params, ops, lvl + 1, rc, jnp.zeros_like(rc))
         if mk is not None:
             ec = jnp.where(mk, 0.0, ec)
         x = x + tr.prolong(ec)
-        x = self._smooth(lvl, b, x, self.post)
+        x = self._smooth(ops[lvl], params["diags"][lvl],
+                         params["lams"][lvl], b, x, self.post)
         return x
 
-    def solve(self, b, x0=None, cycles=1):
-        """k V-cycles from x0 (default 0); the analogue of one application
-        of 'preonly + hypre boomeramg with max_iter = cycles'."""
+    def apply(self, params, b, x0=None, cycles=1):
+        ops = self._ops(params["As"])
         x = jnp.zeros_like(b) if x0 is None else x0
         for _ in range(cycles):
-            x = self._vcycle(0, b, x)
+            x = self._vcycle(params, ops, 0, b, x)
         return x
+
+
+class Multigrid:
+    """Galerkin geometric multigrid V-cycle for a LocalOp (+ optional
+    Dirichlet mask).  ``solve(b, cycles=k)`` imitates one application of
+    the reference's 'preonly + boomeramg, max_iter k' building block."""
+
+    def __init__(self, op, mask=None, **kw):
+        if isinstance(op, MaskedOp):
+            mask = op.mask if mask is None else mask
+            op = op.op
+        assert op.trial_space == op.test_space
+        self.config = MGConfig(op.trial_space, mask, **kw)
+        self.params = self.config.build(op.A)
+
+    def solve(self, b, x0=None, cycles=1):
+        return self.config.apply(self.params, b, x0=x0, cycles=cycles)
 
     def __call__(self, b):
         return self.solve(b)

@@ -72,7 +72,7 @@ def test_minres():
 @pytest.mark.parametrize("quad,degree,bounds", [
     (True, 2, (0.25, 1.5625)),      # Q2 quads (reference test constant :93)
     (False, 1, (0.5, 2.0)),         # P1 triangles (reference :4251)
-    (False, 2, (0.2867, 2.0093)),   # P2 triangles (reference :4250)
+    (False, 2, (0.3923, 2.0599)),   # P2 triangles (this framework's element)
 ])
 def test_chebyshev_mass_solve(quad, degree, bounds):
     """20 Chebyshev iterations on the Jacobi-scaled mass matrix solve it to
