@@ -642,10 +642,12 @@ class Instationary:
                 b_1 = zero_rows(mk, b_1)
             return b_0, b_1
 
-        # Crank-Nicolson
+        # Crank-Nicolson -- note the T1/T2 symmetrisation is applied
+        # unconditionally, also to caller-supplied rhs
+        # (reference control/control.py:3242-3243)
         n = n_t - 1
         if v_d is not None:
-            b_0 = v_d.data
+            b_0 = apply_T_1(v_d.data)
         else:
             vd = self.construct_v_d().data
             b_0 = 0.5 * tau * (vd[:-1] + vd[1:])
@@ -660,7 +662,7 @@ class Instationary:
             b_0 = zero_rows(mk, b_0)
             b_0 = apply_T_1(b_0)
         if f is not None:
-            b_1 = f.data
+            b_1 = apply_T_2(f.data)
         else:
             ff = self.construct_f().data
             b_1 = 0.5 * tau * (ff[:-1] + ff[1:])
@@ -913,3 +915,474 @@ class Instationary:
             _io.write_time_series("zeta", self._zeta, self._times())
         if plots:
             _io.plot_fields(v=Function(space_v, data=self._v.data[-1]))
+
+    # =====================================================================
+    # incompressible (Stokes / Navier-Stokes) variants
+    # =====================================================================
+    def _D_p_stack(self, v_old_data):
+        """Pressure-space analogue of the forward operator (for the Schur
+        approximation; reference control/control.py:3786-3789)."""
+        if self._Gauss_Newton:
+            raise NotImplementedError(
+                "built-in incompressible preconditioner requires the "
+                "Picard operator; pass P= for Gauss-Newton")
+        sp_p = self._space_p
+        p_trial, p_test = TrialFunction(sp_p), TestFunction(sp_p)
+        vfun = Function(self._space_v)
+        tc = Constant(self._time_interval[0])
+        form = self._forward_form(p_trial, p_test, vfun, tc)
+        dep_v = _form_contains(form, vfun)
+        dep_t = _form_contains(form, tc)
+        if not dep_v and not dep_t:
+            return assemble(form).A[None]
+        times = jnp.asarray(self._times(), sp_p.mesh.dtype)
+
+        def one(vdata, t):
+            vf = Function(self._space_v, data=vdata)
+            return assemble(self._forward_form(p_trial, p_test, vf,
+                                               Constant(t))).A
+
+        return jax.vmap(one)(v_old_data, times)
+
+    def _incompressible_blocks(self, Dv_A, B, B_T):
+        """The 2n x 2n velocity-KKT + divergence block dicts
+        (reference control/control.py:3750-3957)."""
+        n_t, tau, beta = self._n_t, self._tau, self._beta
+        sp = self._space_v
+        M = assemble(self._M_v)
+        M_A = M.A
+        sh = Dv_A.shape[0] == 1
+
+        def D(i):
+            return Dv_A[0] if sh else Dv_A[i]
+
+        def op(A):
+            return LocalOp(A, sp, sp)
+
+        block_00 = {}
+        n = n_t if not self._CN else n_t - 1
+        if not self._CN:
+            tM = op(tau * M_A)
+            mM = op(-M_A)
+            tbM = op(-(tau / beta) * M_A)
+            d01 = (op(tau * jnp.swapaxes(D(0), -1, -2) + M_A) if sh
+                   else None)
+            d10 = op(tau * D(0) + M_A) if sh else None
+            for i in range(n_t):
+                if i < n_t - 1:
+                    block_00[(i, i)] = tM
+                block_00[(i, n + i)] = d01 or op(
+                    tau * jnp.swapaxes(D(i), -1, -2) + M_A)
+                block_00[(n + i, i)] = d10 or op(tau * D(i) + M_A)
+                if i < n_t - 1:
+                    block_00[(i, n + i + 1)] = mM
+                if i >= 1:
+                    block_00[(n + i, i - 1)] = mM
+                    block_00[(n + i, n + i)] = tbM
+        else:
+            hM = op(0.5 * tau * M_A)
+            hbM = op(-0.5 * (tau / beta) * M_A)
+            d01 = (op(0.5 * tau * jnp.swapaxes(D(0), -1, -2) + M_A) if sh
+                   else None)
+            d01m = (op(0.5 * tau * jnp.swapaxes(D(0), -1, -2) - M_A) if sh
+                    else None)
+            d10 = op(0.5 * tau * D(0) + M_A) if sh else None
+            d10m = op(0.5 * tau * D(0) - M_A) if sh else None
+            for i in range(n):
+                block_00[(i, i)] = hM
+                if i >= 1:
+                    block_00[(i, i - 1)] = hM
+                block_00[(i, n + i)] = d01 or op(
+                    0.5 * tau * jnp.swapaxes(D(i), -1, -2) + M_A)
+                if i < n - 1:
+                    block_00[(i, n + i + 1)] = d01m or op(
+                        0.5 * tau * jnp.swapaxes(D(i + 1), -1, -2) - M_A)
+                block_00[(n + i, i)] = d10 or op(
+                    0.5 * tau * D(i + 1) + M_A)
+                if i >= 1:
+                    block_00[(n + i, i - 1)] = d10m or op(
+                        0.5 * tau * D(i) - M_A)
+                block_00[(n + i, n + i)] = hbM
+                if i < n - 1:
+                    block_00[(n + i, n + i + 1)] = hbM
+
+        tB = tau * B
+        tBT = tau * B_T
+        block_01 = {(i, i): tBT for i in range(2 * n)}
+        block_10 = {(i, i): tB for i in range(2 * n)}
+        return block_00, block_01, block_10, {}, M
+
+    def _p_kkt_dicts(self, Dp_A):
+        """Pressure-space space-time KKT dicts for the Schur approximation
+        (reference control/control.py:3722-3957)."""
+        n_t, tau, beta = self._n_t, self._tau, self._beta
+        sp = self._space_p
+        p_trial, p_test = TrialFunction(sp), TestFunction(sp)
+        M_p = assemble(self._M_p if self._M_p is not None
+                       else inner(p_trial, p_test) * dx)
+        Mp_A = M_p.A
+        sh = Dp_A.shape[0] == 1
+
+        def D(i):
+            return Dp_A[0] if sh else Dp_A[i]
+
+        def op(A):
+            return LocalOp(A, sp, sp)
+
+        b00, b01, b10, b11 = {}, {}, {}, {}
+        if not self._CN:
+            tM = op(tau * Mp_A)
+            mM = op(-Mp_A)
+            tbM = op(-(tau / beta) * Mp_A)
+            d01 = (op(tau * jnp.swapaxes(D(0), -1, -2) + Mp_A) if sh
+                   else None)
+            d10 = op(tau * D(0) + Mp_A) if sh else None
+            for i in range(n_t):
+                if i < n_t - 1:
+                    b00[(i, i)] = tM
+                b01[(i, i)] = d01 or op(
+                    tau * jnp.swapaxes(D(i), -1, -2) + Mp_A)
+                b10[(i, i)] = d10 or op(tau * D(i) + Mp_A)
+                if i < n_t - 1:
+                    b01[(i, i + 1)] = mM
+                if i >= 1:
+                    b10[(i, i - 1)] = mM
+                    b11[(i, i)] = tbM
+        else:
+            n = n_t - 1
+            hM = op(0.5 * tau * Mp_A)
+            hbM = op(-0.5 * (tau / beta) * Mp_A)
+            d01 = (op(0.5 * tau * jnp.swapaxes(D(0), -1, -2) + Mp_A) if sh
+                   else None)
+            d01m = (op(0.5 * tau * jnp.swapaxes(D(0), -1, -2) - Mp_A) if sh
+                    else None)
+            d10 = op(0.5 * tau * D(0) + Mp_A) if sh else None
+            d10m = op(0.5 * tau * D(0) - Mp_A) if sh else None
+            for i in range(n):
+                b00[(i, i)] = hM
+                if i >= 1:
+                    b00[(i, i - 1)] = hM
+                b01[(i, i)] = d01 or op(
+                    0.5 * tau * jnp.swapaxes(D(i), -1, -2) + Mp_A)
+                if i < n - 1:
+                    b01[(i, i + 1)] = d01m or op(
+                        0.5 * tau * jnp.swapaxes(D(i + 1), -1, -2) - Mp_A)
+                b10[(i, i)] = d10 or op(0.5 * tau * D(i + 1) + Mp_A)
+                if i >= 1:
+                    b10[(i, i - 1)] = d10m or op(0.5 * tau * D(i) - Mp_A)
+                b11[(i, i)] = hbM
+                if i < n - 1:
+                    b11[(i, i + 1)] = hbM
+        return b00, b01, b10, b11, M_p
+
+    def incompressible_linear_solve(self, nullspace_p, *, space_p=None,
+                                    P=None, solver_parameters=None,
+                                    Multigrid=False, lambda_v_bounds=None,
+                                    lambda_p_bounds=None, v_d=None, f=None,
+                                    div_v=None, div_zeta=None,
+                                    print_error=True, create_output=True,
+                                    plots=False):
+        """Space-time Stokes/Navier-Stokes KKT solve with the nested
+        preconditioner (reference control/control.py:3592-4884): inner
+        fixed-5-iteration GMRES on the full space-time velocity KKT plus a
+        per-time-block pressure Schur K_p^{-1} (KKT_p) M_p^{-1} with 1/tau^2
+        scaling and T sandwiches."""
+        from ..solvers.block import BlockAction
+        from .common import BlockSolver
+        space_v = self._space_v
+        if space_p is None:
+            if self._space_p is None:
+                raise ValueError("Undefined space_p")
+            space_p = self._space_p
+        else:
+            self.set_space_p(space_p)
+
+        n_t, tau, beta = self._n_t, self._tau, self._beta
+        epsilon = None if self._CN else 1.0e-3
+        n = n_t if not self._CN else n_t - 1
+
+        inhom = any(not bc.is_homogeneous
+                    for i in self._bcs_v for bc in self._bcs_v[i])
+        bcs_v = (homogenize(self._bcs_v[1]) if inhom
+                 else self._bcs_v[1])
+        mask = combine_masks(space_v, bcs_v) if bcs_v else None
+        nullspace_v = (DirichletBCNullspace(bcs_v) if bcs_v
+                       else NoneNullspace())
+        full_ns_0 = tuple(nullspace_v for _ in range(2 * n))
+        full_ns_1 = tuple(nullspace_p for _ in range(2 * n))
+
+        v_0 = self._initial_state()
+        Dv_A = self._D_stack(self._v.data)
+
+        v_trial, v_test = TrialFunction(space_v), TestFunction(space_v)
+        p_trial, p_test = TrialFunction(space_p), TestFunction(space_p)
+        B = assemble(-inner(div(v_trial), p_test) * dx)
+        B_T = assemble(-inner(p_trial, div(v_test)) * dx)
+
+        block_00, block_01, block_10, block_11, M = \
+            self._incompressible_blocks(Dv_A, B, B_T)
+
+        # rhs: velocity part reuses the compressible construction
+        b_0_0, b_0_1 = self._build_rhs(v_d, f, v_0, Dv_A, M, mask, inhom,
+                                       self._bcs_v)
+        dtype = space_v.mesh.dtype
+        if div_v is not None:
+            b_1_0 = div_v.data if hasattr(div_v, "data") else div_v
+        else:
+            b_1_0 = jnp.zeros((n,) + space_p.grid_shape, dtype)
+            if inhom:
+                for i in range(n):
+                    bi = i if not self._CN else i + 1
+                    li = bc_lift_function(space_v, self._bcs_v[bi]).data
+                    b_1_0 = b_1_0.at[i].add(-tau * B.apply(li))
+        if div_zeta is not None:
+            b_1_1 = div_zeta.data if hasattr(div_zeta, "data") else div_zeta
+        else:
+            b_1_1 = jnp.zeros((n,) + space_p.grid_shape, dtype)
+        if self._CN:
+            b_1_0 = apply_T_2(b_1_0)
+            b_1_1 = apply_T_1(b_1_1)
+        b_0 = jnp.concatenate([b_0_0, b_0_1])
+        b_1 = jnp.concatenate([b_1_0, b_1_1])
+
+        system = MultiBlockSystem(
+            space_v, space_p,
+            block_00=block_00, block_01=block_01,
+            block_10=block_10, block_11=block_11,
+            n_blocks_00=2 * n, n_blocks_11=2 * n,
+            sub_n_blocks_00_0=(n if self._CN else None),
+            sub_n_blocks_11_0=(n if self._CN else None),
+            nullspace_0=full_ns_0, nullspace_1=full_ns_1, CN=self._CN)
+
+        if P is None:
+            # inner velocity-KKT system (compressible blocks)
+            i00, i01, i10, i11, _ = self._blocks(Dv_A)
+            inner_system = MultiBlockSystem(
+                space_v, space_v,
+                block_00=i00, block_01=i01, block_10=i10, block_11=i11,
+                n_blocks_00=n, n_blocks_11=n,
+                nullspace_0=tuple(nullspace_v for _ in range(n)),
+                nullspace_1=tuple(nullspace_v for _ in range(n)),
+                CN=self._CN)
+            inner_pc = self.construct_pc(Multigrid, lambda_v_bounds, mask,
+                                         Dv_A, M, epsilon=epsilon)
+            inner_solve = inner_system.solve_fn(
+                solver_parameters={"preconditioner": True,
+                                   "linear_solver": "gmres",
+                                   "maximum_iterations": 5,
+                                   "relative_tolerance": 0.0,
+                                   "absolute_tolerance": 0.0,
+                                   "gmres_restart": 30},
+                pc_fn=inner_pc)
+
+            K_p = assemble(inner(grad(p_trial), grad(p_test)) * dx)
+            solver_K_p = BlockSolver(K_p, None, ("mg", 1))
+            Dp_A = self._D_p_stack(self._v.data)
+            p00, p01, p10, p11, M_p = self._p_kkt_dicts(Dp_A)
+            solver_M_p = mass_solver(M_p, None, False, lambda_p_bounds)
+            act_00 = BlockAction(p00, n, n, space_p, space_p)
+            act_01 = BlockAction(p01, n, n, space_p, space_p)
+            act_10 = BlockAction(p10, n, n, space_p, space_p)
+            act_11 = BlockAction(p11, n, n, space_p, space_p)
+
+            def pc_fn(b_0, b_1):
+                z = jnp.zeros((n,) + space_v.grid_shape, dtype)
+                u0v, u0z, _ = inner_solve(z, z, b_0[:n], b_0[n:])
+                u_0 = jnp.concatenate([u0v, u0z])
+                # pressure Schur with 1/tau^2 scaling and T sandwiches
+                b0h = tau * B.apply(u0v)
+                b1h = tau * B.apply(u0z)
+                if self._CN:
+                    b0h = apply_T_2(b0h)
+                    b1h = apply_T_1(b1h)
+                b0h = (b0h - b_1[:n]) / tau ** 2
+                b1h = (b1h - b_1[n:]) / tau ** 2
+                if self._CN:
+                    b0h = apply_T_2_inv(b0h)
+                    b1h = apply_T_1_inv(b1h)
+                u10 = solver_K_p(b0h)
+                u11 = solver_K_p(b1h)
+                c0 = act_00.apply(u10) + act_01.apply(u11)
+                c1 = act_10.apply(u10) + act_11.apply(u11)
+                u10 = solver_M_p(c0)
+                u11 = solver_M_p(c1)
+                return u_0, jnp.concatenate([u10, u11])
+        else:
+            pc_fn = P
+
+        if solver_parameters is None:
+            solver_parameters = {"linear_solver": "fgmres",
+                                 "fgmres_restart": 10,
+                                 "maximum_iterations": 100,
+                                 "relative_tolerance": 1.0e-6,
+                                 "absolute_tolerance": 0.0,
+                                 "monitor_convergence": print_error}
+
+        u_0_sol = MixedFunction(space_v, 2 * n)
+        u_1_sol = MixedFunction(space_p, 2 * n)
+        info = system.solve(u_0_sol, u_1_sol, b_0, b_1,
+                            solver_parameters=solver_parameters,
+                            pc_fn=pc_fn)
+        self.last_solve_info = info
+
+        internal_rhs = v_d is None and f is None
+        v = MixedFunction(space_v, n_t, name="v")
+        zeta = MixedFunction(space_v, n_t, name="zeta")
+        p = MixedFunction(space_p, n, name="p")
+        mu = MixedFunction(space_p, n, name="mu")
+        if self._CN:
+            if internal_rhs:
+                v.sub(0).assign(v_0)
+            v.data = v.data.at[1:].set(u_0_sol.data[:n])
+            zeta.data = zeta.data.at[:-1].set(u_0_sol.data[n:])
+        else:
+            v.data = u_0_sol.data[:n]
+            zeta.data = u_0_sol.data[n:]
+        mu.data = u_1_sol.data[:n]
+        p.data = u_1_sol.data[n:]
+
+        self.set_v(v)
+        self.set_zeta(zeta)
+        self.set_p(p)
+        self.set_mu(mu)
+
+        if print_error:
+            self.print_error(tau)
+        if create_output:
+            _io.write_time_series("v", self._v, self._times())
+            _io.write_time_series("zeta", self._zeta, self._times())
+            _io.write_time_series("p", self._p, self._times()[:n])
+            _io.write_time_series("mu", self._mu, self._times()[:n])
+        if plots:
+            _io.plot_fields(v=Function(space_v, data=self._v.data[-1]),
+                            p=Function(space_p, data=self._p.data[-1]))
+        return info
+
+    def incompressible_non_linear_solve(self, nullspace_p, *, space_p=None,
+                                        P=None, solver_parameters=None,
+                                        Multigrid=False,
+                                        lambda_v_bounds=None,
+                                        lambda_p_bounds=None,
+                                        max_non_linear_iter=10,
+                                        relative_non_linear_tol=10.0**-5,
+                                        absolute_non_linear_tol=10.0**-8,
+                                        print_error_linear=False,
+                                        print_error_non_linear=True,
+                                        create_output=True, plots=False):
+        """Picard/Gauss-Newton loop for the incompressible problem
+        (reference control/control.py:4886-5359)."""
+        space_v = self._space_v
+        if space_p is None:
+            if self._space_p is None:
+                raise ValueError("Undefined space_p")
+            space_p = self._space_p
+        else:
+            self.set_space_p(space_p)
+        n_t, tau = self._n_t, self._tau
+        n = n_t if not self._CN else n_t - 1
+
+        inhom = any(not bc.is_homogeneous
+                    for i in self._bcs_v for bc in self._bcs_v[i])
+        bcs_v = (homogenize(self._bcs_v[1]) if inhom
+                 else self._bcs_v[1])
+        mask = combine_masks(space_v, bcs_v) if bcs_v else None
+
+        v_old = MixedFunction(space_v, n_t, data=self._v.data)
+        zeta_old = MixedFunction(space_v, n_t, data=self._zeta.data)
+        p_old = MixedFunction(space_p, n, data=self._p.data)
+        mu_old = MixedFunction(space_p, n, data=self._mu.data)
+        v_0 = self._initial_state()
+        if self._CN:
+            v_old.sub(0).assign(v_0)
+        zeta_old.sub(n_t - 1).assign(0.0)
+
+        f = self.construct_f()
+        v_d = self.construct_v_d()
+
+        v_trial, v_test = TrialFunction(space_v), TestFunction(space_v)
+        p_trial, p_test = TrialFunction(space_p), TestFunction(space_p)
+        B = assemble(-inner(div(v_trial), p_test) * dx)
+        B_T = assemble(-inner(p_trial, div(v_test)) * dx)
+
+        mkv = mask[None] if mask is not None else None
+
+        def res():
+            rhs_00, rhs_01 = self.non_linear_res_eval(
+                v_old, zeta_old, v_0, v_d, f, mask, mask)
+            rhs_00 = zero_rows(mkv, rhs_00 - tau * B_T.apply(mu_old.data))
+            rhs_01 = zero_rows(mkv, rhs_01 - tau * B_T.apply(p_old.data))
+            if self._CN:
+                rhs_10 = -B.apply(v_old.data[1:])
+            else:
+                rhs_10 = -B.apply(v_old.data)
+            rhs_11 = -B.apply(zeta_old.data[:n])
+            return rhs_00, rhs_01, rhs_10, rhs_11
+
+        rhs_00, rhs_01, rhs_10, rhs_11 = res()
+
+        def _norm(*a):
+            return float(jnp.sqrt(sum(jnp.vdot(x, x) for x in a)))
+
+        norm_0 = _norm(rhs_00, rhs_01, rhs_10, rhs_11)
+        norm_k = norm_0
+        k = 0
+        print(f"Initial non-linear residual: {norm_0:.16e}")
+
+        while (norm_k > relative_non_linear_tol * norm_0
+               and norm_k > absolute_non_linear_tol):
+            self.incompressible_linear_solve(
+                nullspace_p, space_p=space_p, P=P,
+                solver_parameters=solver_parameters, Multigrid=Multigrid,
+                lambda_v_bounds=lambda_v_bounds,
+                lambda_p_bounds=lambda_p_bounds,
+                v_d=MixedFunction(space_v, n, data=rhs_00, dual=True),
+                f=MixedFunction(space_v, n, data=rhs_01, dual=True),
+                div_v=MixedFunction(space_p, n, data=tau * rhs_10,
+                                    dual=True),
+                div_zeta=MixedFunction(space_p, n, data=tau * rhs_11,
+                                       dual=True),
+                print_error=print_error_linear,
+                create_output=False, plots=False)
+
+            v_old.data = v_old.data + self._v.data
+            if inhom:
+                for i in range(n_t):
+                    for bc in self._bcs_v[i]:
+                        bc.apply(v_old.sub(i))
+            zeta_old.data = zeta_old.data + self._zeta.data
+            if mask is not None:
+                zeta_old.data = jnp.where(mask[None], 0.0, zeta_old.data)
+            p_old.data = p_old.data + self._p.data
+            mu_old.data = mu_old.data + self._mu.data
+            self.set_v(v_old)
+            self.set_zeta(zeta_old)
+            self.set_p(p_old)
+            self.set_mu(mu_old)
+            v_old.data = self._v.data
+            zeta_old.data = self._zeta.data
+
+            rhs_00, rhs_01, rhs_10, rhs_11 = res()
+            norm_k = _norm(rhs_00, rhs_01, rhs_10, rhs_11)
+            k += 1
+            print(f"Non-linear solver: iteration {k:d}, "
+                  f"non-linear residual norm {norm_k:.16e}")
+            if k + 1 > max_non_linear_iter:
+                break
+
+        if print_error_non_linear:
+            if (norm_k < relative_non_linear_tol * norm_0
+                    or norm_k < absolute_non_linear_tol):
+                print(f"Relative non-linear residual: {norm_k / norm_0:.16e}")
+                print(f"Absolute non-linear residual: {norm_k:.16e}")
+                print(f"Number of non-linear iterations: {k:d}")
+            else:
+                print("The non-linear iteration did not converge")
+                print(f"Relative non-linear residual: {norm_k / norm_0:.16e}")
+                print(f"Absolute non-linear residual: {norm_k:.16e}")
+            self.print_error(tau)
+
+        if create_output:
+            _io.write_time_series("v", self._v, self._times())
+            _io.write_time_series("zeta", self._zeta, self._times())
+            _io.write_time_series("p", self._p, self._times()[:n])
+            _io.write_time_series("mu", self._mu, self._times()[:n])

@@ -582,3 +582,124 @@ class Stationary:
                             true_v=self._true_v)
         if print_error:
             self.print_error()
+
+    def incompressible_non_linear_solve(self, nullspace_p, *, space_p=None,
+                                        P=None, solver_parameters=None,
+                                        Multigrid=False,
+                                        lambda_v_bounds=None,
+                                        lambda_p_bounds=None,
+                                        max_non_linear_iter=10,
+                                        relative_non_linear_tol=10.0**-5,
+                                        absolute_non_linear_tol=10.0**-8,
+                                        print_error_linear=False,
+                                        print_error_non_linear=True,
+                                        create_output=True, plots=False):
+        """Picard/Gauss-Newton loop with the incompressibility constraint
+        (reference control/control.py:1203-1487)."""
+        space_v = self._space_v
+        if space_p is None:
+            if self._space_p is None:
+                raise ValueError("Undefined space_p")
+            space_p = self._space_p
+        else:
+            self.set_space_p(space_p)
+
+        inhom, bcs_v, bcs_v_help = self._setup_bcs()
+        bcs_zeta = bcs_v
+        mask = combine_masks(space_v, bcs_v) if bcs_v else None
+
+        v_old = Function(space_v, name="v_old", data=self._v.data)
+        zeta_old = Function(space_v, name="zeta_old", data=self._zeta.data)
+        p_old = Function(space_p, name="p_old", data=self._p.data)
+        mu_old = Function(space_p, name="mu_old", data=self._mu.data)
+
+        v_test = TestFunction(space_v)
+        v_trial = TrialFunction(space_v)
+        p_trial = TrialFunction(space_p)
+        p_test = TestFunction(space_p)
+        B = assemble(-inner(div(v_trial), p_test) * dx)
+        B_T = assemble(-inner(p_trial, div(v_test)) * dx)
+
+        f = assemble(self._force_function(v_test))
+        v_d_form, true_v = self._desired_state(v_test)
+        self._true_v = true_v
+        v_d = assemble(v_d_form)
+
+        def res():
+            _, D_zeta = self.construct_D_v(v_old)
+            rhs_0, rhs_1 = self.non_linear_res_eval(
+                v_d, f, v_old, zeta_old, D_zeta, mask, mask)
+            rhs_00 = zero_rows(mask, rhs_0.data - B_T.apply(mu_old.data))
+            rhs_01 = zero_rows(mask, rhs_1.data - B_T.apply(p_old.data))
+            rhs_10 = -B.apply(v_old.data)
+            rhs_11 = -B.apply(zeta_old.data)
+            return rhs_00, rhs_01, rhs_10, rhs_11
+
+        rhs_00, rhs_01, rhs_10, rhs_11 = res()
+
+        def _norm(*a):
+            return float(jnp.sqrt(sum(jnp.vdot(x, x) for x in a)))
+
+        norm_0 = _norm(rhs_00, rhs_01, rhs_10, rhs_11)
+        norm_k = norm_0
+        k = 0
+        print(f"Initial non-linear residual: {norm_0:.16e}")
+
+        while (norm_k > relative_non_linear_tol * norm_0
+               and norm_k > absolute_non_linear_tol):
+            self.incompressible_linear_solve(
+                nullspace_p, space_p=space_p, P=P,
+                solver_parameters=solver_parameters, Multigrid=Multigrid,
+                lambda_v_bounds=lambda_v_bounds,
+                lambda_p_bounds=lambda_p_bounds,
+                v_d=Cofunction(space_v, data=rhs_00),
+                f=Cofunction(space_v, data=rhs_01),
+                div_v=Cofunction(space_p, data=rhs_10),
+                div_zeta=Cofunction(space_p, data=rhs_11),
+                print_error=print_error_linear,
+                create_output=False, plots=False)
+
+            v_old.data = v_old.data + self._v.data
+            if inhom:
+                for bc in bcs_v_help:
+                    bc.apply(v_old)
+            zeta_old.data = zeta_old.data + self._zeta.data
+            for bc in bcs_zeta:
+                bc.apply(zeta_old)
+            p_old.data = p_old.data + self._p.data
+            mu_old.data = mu_old.data + self._mu.data
+            self.set_v(v_old)
+            self.set_zeta(zeta_old)
+            self.set_p(p_old)
+            self.set_mu(mu_old)
+            v_old.data = self._v.data
+            zeta_old.data = self._zeta.data
+
+            rhs_00, rhs_01, rhs_10, rhs_11 = res()
+            norm_k = _norm(rhs_00, rhs_01, rhs_10, rhs_11)
+            k += 1
+            print(f"Non-linear solver: iteration {k:d}, "
+                  f"non-linear residual norm {norm_k:.16e}")
+            if k + 1 > max_non_linear_iter:
+                break
+
+        if print_error_non_linear:
+            if (norm_k < relative_non_linear_tol * norm_0
+                    or norm_k < absolute_non_linear_tol):
+                print(f"Relative non-linear residual: {norm_k / norm_0:.16e}")
+                print(f"Absolute non-linear residual: {norm_k:.16e}")
+                print(f"Number of non-linear iterations: {k:d}")
+            else:
+                print("The non-linear iteration did not converge")
+                print(f"Relative non-linear residual: {norm_k / norm_0:.16e}")
+                print(f"Absolute non-linear residual: {norm_k:.16e}")
+            self.print_error()
+
+        if create_output:
+            _io.write_solution("v", self._v)
+            _io.write_solution("zeta", self._zeta)
+            _io.write_solution("p", self._p)
+            _io.write_solution("mu", self._mu)
+        if plots:
+            _io.plot_fields(v=self._v, zeta=self._zeta, p=self._p,
+                            mu=self._mu, true_v=self._true_v)

@@ -300,6 +300,24 @@ def _build_groups(blocks, n_rows, n_cols, trial_space, test_space):
     return groups
 
 
+class BlockAction:
+    """Pure action of a block dict {(i, j): LocalOp|None} on stacked
+    vectors (no nullspaces / transforms)."""
+
+    def __init__(self, blocks, n_rows, n_cols, trial_space, test_space):
+        self.groups = _build_groups(blocks, n_rows, n_cols, trial_space,
+                                    test_space)
+        self.n_rows = n_rows
+        self.test_space = test_space
+
+    def apply(self, x):
+        y = jnp.zeros((self.n_rows,) + self.test_space.grid_shape,
+                      dtype=x.dtype)
+        for g in self.groups:
+            y = g.apply_add(y, x)
+        return y
+
+
 # ---------------------------------------------------------------------------
 # MultiBlockSystem
 # ---------------------------------------------------------------------------

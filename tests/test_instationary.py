@@ -156,8 +156,10 @@ def test_instationary_linear_control_CN():
         if i < n - 1:
             r1 = r1 - 0.5 * (tau / beta) * M.apply(wd[i + 1])
         y1.append(r1)
-    b_0 = apply_T_1(jnp.stack(y0))
-    b_1 = apply_T_2(jnp.stack(y1))
+    # untransformed rows: linear_solve applies T1/T2 itself (matching the
+    # reference test, test_control.py:1530-1656)
+    b_0 = jnp.stack(y0)
+    b_1 = jnp.stack(y1)
 
     solver_parameters = {"linear_solver": "fgmres",
                          "fgmres_restart": 10,
