@@ -1,0 +1,64 @@
+"""Multi-chip sharding of the all-at-once solver.
+
+The reference distributes via MPI domain decomposition inside
+Firedrake/PETSc (reference control/control.py:138,1523; every Vec/Mat op is
+a collective).  Here the same axis -- space -- is sharded with
+``jax.sharding`` over a device mesh: the solver is pure jnp on stacked grid
+arrays (n_blocks, ny, nx[, comp]), so annotating the inputs is enough for
+XLA's SPMD partitioner to insert halo exchanges (collective-permutes) for
+the strided stencil slices and psum reductions for the Krylov dot products
+-- the TPU analogue of PETSc's MPI assembly/axpy/norm collectives, riding
+ICI instead of DCN.
+
+Axes:
+  "sy", "sx"  -- spatial domain decomposition of the node grid,
+  time        -- kept local (the Schur sweeps scan over it sequentially;
+                 the matvec and (1,1) solves are batched over it).
+"""
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_device_mesh(shape=None, devices=None, axis_names=("sy", "sx")):
+    """A 2-D spatial device mesh.  ``shape=None`` factorises all available
+    devices as squarely as possible."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if shape is None:
+        a = int(np.floor(np.sqrt(n)))
+        while n % a:
+            a -= 1
+        shape = (a, n // a)
+    devs = np.asarray(devices[:shape[0] * shape[1]]).reshape(shape)
+    return Mesh(devs, axis_names)
+
+
+def grid_sharding(mesh, space, leading_axes=1):
+    """NamedSharding for a stacked grid array (*leading, ny, nx[, comp]):
+    spatial axes sharded over the mesh, leading/time and component axes
+    replicated."""
+    spec = [None] * leading_axes + list(mesh.axis_names)
+    if space.dim is not None:
+        spec.append(None)
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_stack(x, mesh, space, leading_axes=1):
+    """Place a stacked grid array onto the device mesh."""
+    return jax.device_put(x, grid_sharding(mesh, space, leading_axes))
+
+
+def shard_problem_state(ctl, mesh):
+    """Shard an Instationary problem's state arrays over the device mesh
+    (subsequent jitted solves then run SPMD)."""
+    sp = ctl._space_v
+    ctl._v.data = shard_stack(ctl._v.data, mesh, sp)
+    ctl._zeta.data = shard_stack(ctl._zeta.data, mesh, sp)
+    if getattr(ctl, "_space_p", None) is not None and ctl._space_p:
+        pp = ctl._space_p
+        ctl._p.data = shard_stack(ctl._p.data, mesh, pp)
+        ctl._mu.data = shard_stack(ctl._mu.data, mesh, pp)
+    return ctl
