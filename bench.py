@@ -61,19 +61,29 @@ def build_and_time(dtype_name, repeats=REPEATS):
 
 def _time_solve(solve, args, repeats, dtype_name):
     import jax
+
+    def sync(x):
+        # block_until_ready can return early on the experimental axon
+        # platform; a device-to-host copy is a hard sync
+        return np.asarray(x).ravel()[0]
+
     t0 = time.time()
     v, zeta, info = solve(*args)
-    v.block_until_ready()
+    sync(v)
     compile_s = time.time() - t0
     iters = int(info["iterations"])
     rel = float(info["rnorm"] / info["rnorm0"])
     assert np.isfinite(rel), "solver produced non-finite residual"
 
     times = []
-    for _ in range(repeats):
+    u_0, u_1, b_0, b_1 = args
+    for k in range(repeats):
+        bb_0 = b_0 * (1.0 + 1e-5 * (k + 1))
+        bb_1 = b_1 * (1.0 + 1e-5 * (k + 1))
+        sync(bb_0), sync(bb_1)
         t0 = time.time()
-        v, zeta, info = solve(*args)
-        v.block_until_ready()
+        v, zeta, info = solve(u_0, u_1, bb_0, bb_1)
+        sync(v)
         times.append(time.time() - t0)
     return {"seconds": float(min(times)), "iterations": iters,
             "relative_residual": rel, "compile_seconds": compile_s,

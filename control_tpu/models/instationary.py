@@ -64,11 +64,23 @@ def _stack_apply(space_trial, space_test, A, x):
     return out
 
 
+def _fast_stack_applier(space, A):
+    """Batched stacked-operator application; node-stencil fast path on
+    scalar spaces (one fused kernel per apply on TPU)."""
+    if space.dim is None:
+        from ..ops.stencil import node_stencil, apply_stencil
+        w = node_stencil(A, space)
+        d = space.degree
+        return lambda x: apply_stencil(w, x, d)
+    return lambda x: _stack_apply(space, space, A, x)
+
+
 class _SweepSolver:
     """Sequential solve of a block lower-bidiagonal system
     u_i = V-cycle_i(b_i - S_i u_{i-1}) via lax.scan, with per-time-block
     multigrid hierarchies built once (batched under vmap when the blocks
-    differ)."""
+    differ).  Scalar spaces use the fused node-stencil fast path for both
+    the sub-diagonal action and the V-cycle operators."""
 
     def __init__(self, space, mask, diag_A, sub_A, cycles=2):
         self.space, self.mask, self.cycles = space, mask, cycles
@@ -78,69 +90,70 @@ class _SweepSolver:
             self.params = self.config.build(diag_A[0])
         else:
             self.params = jax.vmap(self.config.build)(diag_A)
-        self.sub_A = sub_A          # (n-1|1, E|1, b, a) or None
+        self.stencil_sub = space.dim is None
+        if sub_A is None:
+            self.sub = None
+        elif self.stencil_sub:
+            from ..ops.stencil import node_stencil
+            self.sub = node_stencil(sub_A, space)   # (m|1, K, ny, nx)
+        else:
+            self.sub = sub_A                        # (m|1, E|1, b, a)
+
+    def _sub_apply(self, S_i, u):
+        if self.stencil_sub:
+            from ..ops.stencil import apply_stencil
+            return apply_stencil(S_i, u, self.space.degree)
+        xe = self.space.gather(u)
+        return self.space.scatter_add(
+            jnp.matmul(S_i, xe[..., None])[..., 0])
 
     def solve(self, b, reverse=False):
         n = b.shape[0]
         mask = self.mask
         params = self.params
-        sub_A = self.sub_A
+        sub = self.sub
 
         if reverse:
             b = b[::-1]
             if not self.shared:
                 params = jax.tree_util.tree_map(lambda x: x[::-1], params)
-            if sub_A is not None and sub_A.shape[0] > 1:
-                sub_A = sub_A[::-1]
+            if sub is not None and sub.shape[0] > 1:
+                sub = sub[::-1]
 
         has_sub = jnp.arange(n) > 0
-        if sub_A is None:
-            sub_A = jnp.zeros((1,) + (1, 1, 1), b.dtype)  # unused
-            use_sub = False
-        else:
-            use_sub = True
-            if sub_A.shape[0] == 1:
-                sub_stack = None
+        use_sub = sub is not None
+        if use_sub:
+            if sub.shape[0] == 1:
+                S_xs = jnp.broadcast_to(sub, (n,) + sub.shape[1:])
             else:
-                pad = jnp.zeros((1,) + sub_A.shape[1:], sub_A.dtype)
-                sub_A = jnp.concatenate([pad, sub_A])      # align row i
-
-        def sub_apply(A_i, u):
-            xe = self.space.gather(u)
-            return self.space.scatter_add(
-                jnp.matmul(A_i, xe[..., None])[..., 0])
+                pad = jnp.zeros((1,) + sub.shape[1:], sub.dtype)
+                S_xs = jnp.concatenate([pad, sub])       # align row i
+        else:
+            S_xs = jnp.zeros((n, 1, 1, 1), b.dtype)
 
         def step(u_prev, xs):
-            b_i, flag, A_i, p_i = xs
+            b_i, flag, S_i, p_i = xs
             rhs = b_i
             if use_sub:
-                rhs = rhs - flag * sub_apply(A_i, u_prev)
+                rhs = rhs - flag * self._sub_apply(S_i, u_prev)
             rhs = zero_rows(mask, rhs)
             u_i = self.config.apply(p_i if p_i is not None else params,
                                     rhs, cycles=self.cycles)
             return u_i, u_i
 
-        if use_sub and sub_A.shape[0] == 1:
-            A_xs = jnp.broadcast_to(sub_A, (n,) + sub_A.shape[1:])
-        elif use_sub:
-            A_xs = sub_A
-        else:
-            A_xs = jnp.zeros((n, 1, 1, 1), b.dtype)
-
         if self.shared:
             def step2(u_prev, xs):
-                b_i, flag, A_i = xs
-                return step(u_prev, (b_i, flag, A_i, None))
+                b_i, flag, S_i = xs
+                return step(u_prev, (b_i, flag, S_i, None))
             _, u = jax.lax.scan(
                 step2, jnp.zeros_like(b[0]),
-                (b, has_sub.astype(b.dtype), A_xs))
+                (b, has_sub.astype(b.dtype), S_xs))
         else:
             def step3(u_prev, xs):
-                b_i, flag, A_i, p_i = xs
-                return step(u_prev, (b_i, flag, A_i, p_i))
+                return step(u_prev, xs)
             _, u = jax.lax.scan(
                 step3, jnp.zeros_like(b[0]),
-                (b, has_sub.astype(b.dtype), A_xs, params))
+                (b, has_sub.astype(b.dtype), S_xs, params))
         return u[::-1] if reverse else u
 
 
@@ -518,6 +531,9 @@ class Instationary:
                          * jnp.swapaxes(Dv_A[1:n], -1, -2) - M_A + c * M_A)
             fwd = _SweepSolver(sp, mask, F_diag, F_sub)
             bwd = _SweepSolver(sp, mask, G_diag, G_sup)
+            ap_diag = _fast_stack_applier(sp, d10_diag)
+            ap_sub = _fast_stack_applier(sp, d10_sub)
+            ap_M = _fast_stack_applier(sp, M_A[None])
 
             def pc_linear(b_0, b_1):
                 # (1,1)-block: u0 = T2^{-1} (2/tau) M^{-1} T1^{-1} b0
@@ -525,8 +541,8 @@ class Instationary:
                 u_0 = (2.0 / tau) * solver_0(u_0)
                 u_0 = apply_T_2_inv(u_0)
                 # b = block_10 u0 (rowwise bcs), T2, -b1, bcs, T2^{-1}
-                b = _stack_apply(sp, sp, d10_diag, u_0)
-                sub = _stack_apply(sp, sp, d10_sub, u_0[:-1])
+                b = ap_diag(u_0)
+                sub = ap_sub(u_0[:-1])
                 b = b.at[1:].add(sub)
                 b = zero_rows(mask[None] if mask is not None else None, b)
                 b = apply_T_2(b)
@@ -537,7 +553,7 @@ class Instationary:
                 u_1 = fwd.solve(b)
                 u_1 = apply_T_2(u_1)
                 # multiply 0.5 tau M
-                b = 0.5 * tau * _stack_apply(sp, sp, M_A[None], u_1)
+                b = 0.5 * tau * ap_M(u_1)
                 b = zero_rows(mask[None] if mask is not None else None, b)
                 # backward substitution (L^T + cM)
                 u_1 = bwd.solve(b, reverse=True)
@@ -568,19 +584,22 @@ class Instationary:
         mM = (-M_A)[None]
         fwd = _SweepSolver(sp, mask, F_diag, mM)
         bwd = _SweepSolver(sp, mask, G_diag, mM)
+        ap_diag = _fast_stack_applier(sp, d10_diag)
+        ap_sub = _fast_stack_applier(sp, mM)
+        ap_M = _fast_stack_applier(sp, M_A[None])
 
         def pc_linear(b_0, b_1):
             u_0 = (1.0 / tau) * solver_0(b_0)
             u_0 = u_0.at[n - 1].multiply(1.0 / eps)
             # b = block_10 u0 - b1 (rowwise bcs)
-            b = _stack_apply(sp, sp, d10_diag, u_0)
-            sub = _stack_apply(sp, sp, mM, u_0[:-1])
+            b = ap_diag(u_0)
+            sub = ap_sub(u_0[:-1])
             b = b.at[1:].add(sub)
             b = b - b_1
             b = zero_rows(mask[None] if mask is not None else None, b)
             u_1 = fwd.solve(b)
             # multiply tau M (eps tau M on the final block)
-            b = tau * _stack_apply(sp, sp, M_A[None], u_1)
+            b = tau * ap_M(u_1)
             b = b.at[n - 1].multiply(eps)
             b = zero_rows(mask[None] if mask is not None else None, b)
             u_1 = bwd.solve(b, reverse=True)

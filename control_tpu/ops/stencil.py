@@ -1,0 +1,209 @@
+"""Node-stencil (DIA-format) operator application.
+
+A scalar Lagrange operator on a structured mesh is, at node level, a
+(2d+1)^2-point stencil with per-node weights.  Folding the per-cell local
+matrices (and the Dirichlet row/column elimination) into a weight tensor
+
+    w : (*batch, K, ny, nx),   K = (2d+1)^2
+
+turns operator application into K shifted multiply-adds -- and, on TPU, into
+ONE fused Pallas kernel (weights + source streamed through VMEM, single
+pass).  This is the hot operation of the preconditioner's multigrid
+smoothers and Schur substitutions, which the reference delegates to
+hypre/PETSc CSR matvecs.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def stencil_offsets(degree):
+    d = degree
+    return [(dy, dx) for dy in range(-d, d + 1) for dx in range(-d, d + 1)]
+
+
+def node_stencil(A, space, mask=None, alpha=1.0):
+    """Fold local matrices ``A`` (*batch, E|1, b, a) into node-stencil
+    weights (*batch, K, ny, nx).
+
+    ``mask`` (optional boolean grid) applies symmetric Dirichlet
+    elimination: masked rows become alpha*identity, masked columns are
+    dropped.
+    """
+    d = space.degree
+    if space.dim is not None:
+        raise NotImplementedError("node stencils for scalar spaces only")
+    m = space.mesh
+    K = (2 * d + 1) ** 2
+    batch = A.shape[:-3]
+    E = A.shape[-3]
+    dtype = A.dtype
+    Af = jnp.broadcast_to(A, batch + (m.n_cells,) + A.shape[-2:])
+    Af = Af.reshape(batch + (m.ny, m.nx) + A.shape[-2:])
+
+    w = jnp.zeros(batch + (K, space.nodes_y, space.nodes_x), dtype)
+    nl = d + 1
+    for b in range(nl * nl):
+        by, bx = divmod(b, nl)
+        sy = slice(by, by + d * (m.ny - 1) + 1, d)
+        sx = slice(bx, bx + d * (m.nx - 1) + 1, d)
+        for a in range(nl * nl):
+            ay, ax = divmod(a, nl)
+            k = (d + ay - by) * (2 * d + 1) + (d + ax - bx)
+            w = w.at[..., k, sy, sx].add(Af[..., b, a])
+    if mask is not None:
+        mk = jnp.asarray(mask)
+        # zero masked rows
+        w = jnp.where(mk[None, :, :], 0.0, w)
+        # zero masked columns: weight k at node p reads x[p + off_k]
+        for k, (dy, dx) in enumerate(stencil_offsets(d)):
+            src = jnp.zeros_like(mk)
+            ys = slice(max(0, -dy), space.nodes_y - max(0, dy))
+            yd = slice(max(0, dy), space.nodes_y - max(0, -dy))
+            xs = slice(max(0, -dx), space.nodes_x - max(0, dx))
+            xd = slice(max(0, dx), space.nodes_x - max(0, -dx))
+            src = src.at[ys, xs].set(mk[yd, xd])
+            w = w.at[..., k, :, :].set(
+                jnp.where(src, 0.0, w[..., k, :, :]))
+        # alpha * identity on masked rows
+        kc = K // 2
+        w = w.at[..., kc, :, :].set(
+            jnp.where(mk, jnp.asarray(alpha, dtype), w[..., kc, :, :]))
+    return w
+
+
+# ---------------------------------------------------------------------------
+# application
+# ---------------------------------------------------------------------------
+
+def _apply_xla(w, x, degree):
+    """Shifted multiply-add path (portable)."""
+    d = degree
+    ny, nx = x.shape[-2:]
+    pad = [(0, 0)] * (x.ndim - 2) + [(d, d), (d, d)]
+    xp = jnp.pad(x, pad)
+    out = None
+    for k, (dy, dx) in enumerate(stencil_offsets(d)):
+        sl = xp[..., d + dy: d + dy + ny, d + dx: d + dx + nx]
+        term = w[..., k, :, :] * sl
+        out = term if out is None else out + term
+    return out
+
+
+def _pallas_kernel(degree, ny, nx, n_w, dtype):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = degree
+    offs = stencil_offsets(d)
+
+    def kernel(w_ref, xp_ref, y_ref):
+        acc = w_ref[0, 0] * xp_ref[0, d + offs[0][0]: d + offs[0][0] + ny,
+                                   d + offs[0][1]: d + offs[0][1] + nx]
+        for k in range(1, len(offs)):
+            dy, dx = offs[k]
+            acc = acc + w_ref[0, k] * xp_ref[0, d + dy: d + dy + ny,
+                                             d + dx: d + dx + nx]
+        y_ref[0] = acc
+
+    K = len(offs)
+
+    def call(w, xp, batch, w_batched):
+        grid = (batch,)
+        w_index = (lambda i: (i, 0, 0, 0)) if w_batched else \
+            (lambda i: (0, 0, 0, 0))
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, K, ny, nx), w_index,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ny + 2 * d, nx + 2 * d),
+                             lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((batch, ny, nx), dtype),
+        )(w, xp)
+
+    return call
+
+
+def _vmem_ok(degree, ny, nx, dtype):
+    K = (2 * degree + 1) ** 2
+    bytes_needed = (K + 3) * ny * nx * jnp.dtype(dtype).itemsize
+    return bytes_needed < 12 * 1024 * 1024
+
+
+def apply_stencil(w, x, degree, use_pallas=None):
+    """y = stencil(w) @ x.
+
+    w: (K, ny, nx) or (n, K, ny, nx); x: (ny, nx) or (n, ny, nx) -- the
+    batch dims broadcast (shared weights across a time batch are fine).
+    """
+    d = degree
+    if use_pallas is None:
+        try:
+            platform = next(iter(x.devices())).platform  # concrete array
+        except Exception:
+            platform = jax.default_backend()             # tracer
+        use_pallas = (platform == "tpu"
+                      and _vmem_ok(degree, x.shape[-2], x.shape[-1], x.dtype))
+    if not use_pallas:
+        return _apply_xla(w, x, degree)
+
+    ny, nx = x.shape[-2:]
+    x_b = x if x.ndim == 3 else x[None]
+    batch = x_b.shape[0]
+    w_b = w if w.ndim == 4 else w[None]
+    w_batched = w_b.shape[0] == batch and batch > 1
+    if not w_batched and w_b.shape[0] != 1:
+        raise ValueError("stencil batch mismatch")
+    pad = [(0, 0), (d, d), (d, d)]
+    xp = jnp.pad(x_b, pad)
+    call = _pallas_kernel(d, ny, nx, w_b.shape[1], x.dtype)
+    y = call(w_b, xp, batch, w_batched)
+    return y if x.ndim == 3 else y[0]
+
+
+class StencilOp:
+    """Matrix-free operator in node-stencil form (scalar spaces).
+
+    Equivalent to (Masked)LocalOp.apply but a single fused kernel on TPU.
+    """
+
+    def __init__(self, space, w, degree=None):
+        self.space = space
+        self.w = w
+        self.degree = space.degree if degree is None else degree
+
+    @classmethod
+    def from_local(cls, op, mask=None, alpha=1.0):
+        from .local_op import MaskedOp
+        if isinstance(op, MaskedOp):
+            mask = op.mask if mask is None else mask
+            alpha = op.alpha
+            op = op.op
+        w = node_stencil(op.A, op.trial_space, mask=mask, alpha=alpha)
+        return cls(op.trial_space, w)
+
+    def apply(self, x):
+        w = self.w
+        if x.ndim == 2 + (0 if w.ndim == 3 else 1):
+            return apply_stencil(w, x, self.degree)
+        # batched x with shared weights
+        return apply_stencil(w, x, self.degree)
+
+    def __call__(self, x):
+        return self.apply(x)
+
+    def diag(self):
+        K = (2 * self.degree + 1) ** 2
+        return self.w[..., K // 2, :, :]
+
+    def abs_rowsum(self):
+        return jnp.sum(jnp.abs(self.w), axis=-3)

@@ -195,25 +195,59 @@ class MGConfig:
             ops.append(MaskedOp(o, mk) if mk is not None else o)
         return ops
 
+    @property
+    def use_stencil(self):
+        return self.spaces[0].dim is None
+
+    def _appliers(self, params):
+        """Per-level apply callables (stencil fast path on scalar spaces)."""
+        if self.use_stencil:
+            from ..ops.stencil import apply_stencil
+            return [
+                (lambda w=w, d=sp.degree: lambda x: apply_stencil(w, x, d))()
+                for w, sp in zip(params["Ws"], self.spaces)]
+        ops = self._ops(params["As"])
+        return [o.apply for o in ops]
+
     def build(self, A):
         """Params pytree for fine-level local matrices ``A`` (E, b, a)."""
         As = [A]
         for tr in self.transfers:
             As.append(tr.galerkin(As[-1]))
         ops = self._ops(As)
-        diags, lams = [], []
-        for o, sp_l in zip(ops, self.spaces):
-            d = o.diag()
-            d = jnp.where(d == 0, 1.0, d)
-            diags.append(d)
-            lams.append(_gershgorin_lambda_max(o, d))
+        params = {"As": As}
+        if self.use_stencil:
+            from ..ops.stencil import node_stencil
+            Ws, diags, lams = [], [], []
+            for A_l, sp_l, mk in zip(As, self.spaces, self.masks):
+                w = node_stencil(A_l, sp_l, mask=mk)
+                Ws.append(w)
+                K = w.shape[-3]
+                d = w[..., K // 2, :, :]
+                d = jnp.where(d == 0, 1.0, d)
+                diags.append(d)
+                lams.append(jnp.max(jnp.sum(jnp.abs(w), axis=-3)
+                                    / jnp.abs(d)))
+            params = {"Ws": Ws, "diags": diags, "lams": jnp.stack(lams)}
+        else:
+            diags, lams = [], []
+            for o in ops:
+                d = o.diag()
+                d = jnp.where(d == 0, 1.0, d)
+                diags.append(d)
+                lams.append(_gershgorin_lambda_max(o, d))
+            params = {"As": As, "diags": diags, "lams": jnp.stack(lams)}
+        # coarsest solve as a precomputed dense inverse: application is one
+        # MXU matmul (triangular lu_solve is latency-bound on TPU and sits
+        # inside the sequential Schur-sweep scans)
         Ad = ops[-1].to_dense()
-        lu = jax.scipy.linalg.lu_factor(Ad)
-        return {"As": As, "diags": diags, "lams": jnp.stack(lams),
-                "lu": lu}
+        params["Ainv"] = jnp.linalg.inv(Ad)
+        params["diags"] = diags
+        params["lams"] = jnp.stack(lams)
+        return params
 
     # -- application --------------------------------------------------------
-    def _smooth(self, op, d, lam, b, x, steps):
+    def _smooth(self, apply_fn, d, lam, b, x, steps):
         if steps == 0:
             return x
         lam = lam * self.lam_safety
@@ -221,51 +255,47 @@ class MGConfig:
         theta = 0.5 * (lam + lmin)
         delta = 0.5 * (lam - lmin)
         sigma1 = theta / delta
-        r = b - op.apply(x)
+        r = b - apply_fn(x)
         p = (r / d) / theta
         x = x + p
         rho = 1.0 / sigma1
         for _ in range(steps - 1):
-            r = b - op.apply(x)
+            r = b - apply_fn(x)
             rho_new = 1.0 / (2.0 * sigma1 - rho)
             p = rho_new * rho * p + (2.0 * rho_new / delta) * (r / d)
             x = x + p
             rho = rho_new
         return x
 
-    def _vcycle(self, params, ops, lvl, b, x):
-        if lvl == len(ops) - 1:
+    def _vcycle(self, params, appliers, lvl, b, x):
+        if lvl == len(appliers) - 1:
             gs = self.spaces[-1].grid_shape
             batch = b.shape[:-len(gs)]
             bf = b.reshape(batch + (-1,))
-            if batch:
-                bf2 = jnp.moveaxis(bf.reshape((-1, bf.shape[-1])), 0, -1)
-                xs = jax.scipy.linalg.lu_solve(params["lu"], bf2)
-                xs = jnp.moveaxis(xs, -1, 0).reshape(batch + (-1,))
-            else:
-                xs = jax.scipy.linalg.lu_solve(params["lu"], bf)
+            xs = jnp.einsum("ij,...j->...i", params["Ainv"], bf,
+                            precision=jax.lax.Precision.HIGHEST)
             return xs.reshape(b.shape)
-        x = self._smooth(ops[lvl], params["diags"][lvl],
+        x = self._smooth(appliers[lvl], params["diags"][lvl],
                          params["lams"][lvl], b, x, self.pre)
-        r = b - ops[lvl].apply(x)
+        r = b - appliers[lvl](x)
         tr = self.transfers[lvl]
         rc = tr.restrict(r)
         mk = self.masks[lvl + 1]
         if mk is not None:
             rc = jnp.where(mk, 0.0, rc)
-        ec = self._vcycle(params, ops, lvl + 1, rc, jnp.zeros_like(rc))
+        ec = self._vcycle(params, appliers, lvl + 1, rc, jnp.zeros_like(rc))
         if mk is not None:
             ec = jnp.where(mk, 0.0, ec)
         x = x + tr.prolong(ec)
-        x = self._smooth(ops[lvl], params["diags"][lvl],
+        x = self._smooth(appliers[lvl], params["diags"][lvl],
                          params["lams"][lvl], b, x, self.post)
         return x
 
     def apply(self, params, b, x0=None, cycles=1):
-        ops = self._ops(params["As"])
+        appliers = self._appliers(params)
         x = jnp.zeros_like(b) if x0 is None else x0
         for _ in range(cycles):
-            x = self._vcycle(params, ops, 0, b, x)
+            x = self._vcycle(params, appliers, 0, b, x)
         return x
 
 
