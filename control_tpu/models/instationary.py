@@ -107,6 +107,56 @@ class _SweepSolver:
         return self.space.scatter_add(
             jnp.matmul(S_i, xe[..., None])[..., 0])
 
+    def solve_jacobi(self, b, reverse=False, steps=12):
+        """Parallel-in-time truncated block-Jacobi substitution:
+        u^{m+1} = F^{-1}(b - S u^m), exact after n steps (S is a block
+        sub-diagonal shift).  All time blocks solve their V-cycles
+        simultaneously as one batched kernel -- trading the scan's
+        sequential latency for a small truncation error that decays like
+        rho^steps with rho = |(c-1)/(c+1)| on mass-dominated modes."""
+        n = b.shape[0]
+        steps = min(steps, n)
+        mask = self.mask
+        params = self.params
+        sub = self.sub
+        if reverse:
+            b = b[::-1]
+            if not self.shared:
+                params = jax.tree_util.tree_map(lambda x: x[::-1], params)
+            if sub is not None and sub.shape[0] > 1:
+                sub = sub[::-1]
+        if sub is not None and sub.shape[0] > 1:
+            pad = jnp.zeros((1,) + sub.shape[1:], sub.dtype)
+            sub = jnp.concatenate([pad, sub])
+
+        if self.shared:
+            def Fsolve(x):
+                return self.config.apply(params, x, cycles=self.cycles)
+        else:
+            def Fsolve(x):
+                return jax.vmap(
+                    lambda p, xi: self.config.apply(p, xi,
+                                                    cycles=self.cycles)
+                )(params, x)
+
+        def S_all(u):
+            if self.sub is None:
+                return jnp.zeros_like(u)
+            shifted = jnp.concatenate([jnp.zeros_like(u[:1]), u[:-1]])
+            if self.stencil_sub:
+                from ..ops.stencil import apply_stencil
+                return apply_stencil(sub, shifted, self.space.degree)
+            return self._sub_apply(sub, shifted)
+
+        mk = mask[None] if mask is not None else None
+        u = Fsolve(zero_rows(mk, b))
+
+        def body(_, u):
+            return Fsolve(zero_rows(mk, b - S_all(u)))
+
+        u = jax.lax.fori_loop(0, steps - 1, body, u)
+        return u[::-1] if reverse else u
+
     def solve(self, b, reverse=False):
         n = b.shape[0]
         mask = self.mask
@@ -491,6 +541,41 @@ class Instationary:
         return block_00, block_01, block_10, block_11, M
 
     # ------------------------------------------------------- preconditioner
+    def _sweep_fn(self, c, n):
+        """Choose how the Schur block substitutions run.
+
+        ``self._schur_mode``: "scan" (sequential, exact -- the reference's
+        algorithm), "jacobi" (parallel-in-time truncated block Jacobi,
+        batched V-cycles over all time blocks), or "auto" (jacobi with a
+        step count from the mass-mode decay rho = |c-1|/(c+1) when that
+        converges fast enough, else scan).
+        """
+        mode = getattr(self, "_schur_mode", "scan")
+        steps = getattr(self, "_schur_jacobi_steps", None)
+        if mode == "auto":
+            rho = abs(c - 1.0) / (c + 1.0)
+            if steps is None:
+                import math
+                steps = (n if rho >= 0.999
+                         else max(6, int(math.ceil(math.log(1e-9)
+                                                   / math.log(max(rho,
+                                                                  1e-6))))))
+            if steps <= max(6, n // 2):
+                mode = "jacobi"
+            else:
+                mode = "scan"
+        if mode == "jacobi":
+            k = steps or 12
+            return lambda solver, b, rev: solver.solve_jacobi(b, reverse=rev,
+                                                              steps=k)
+        return lambda solver, b, rev: solver.solve(b, reverse=rev)
+
+    def set_schur_sweep(self, mode, steps=None):
+        """Select the Schur substitution strategy ("scan" | "jacobi" |
+        "auto"), optionally fixing the Jacobi step count."""
+        self._schur_mode = mode
+        self._schur_jacobi_steps = steps
+
     def construct_pc(self, Multigrid, lambda_v_bounds, mask, Dv_A, M,
                      epsilon=None):
         """The reference's CN/BE block preconditioner
@@ -531,6 +616,7 @@ class Instationary:
                          * jnp.swapaxes(Dv_A[1:n], -1, -2) - M_A + c * M_A)
             fwd = _SweepSolver(sp, mask, F_diag, F_sub)
             bwd = _SweepSolver(sp, mask, G_diag, G_sup)
+            sweep = self._sweep_fn(c, n)
             ap_diag = _fast_stack_applier(sp, d10_diag)
             ap_sub = _fast_stack_applier(sp, d10_sub)
             ap_M = _fast_stack_applier(sp, M_A[None])
@@ -550,13 +636,13 @@ class Instationary:
                 b = zero_rows(mask[None] if mask is not None else None, b)
                 b = apply_T_2_inv(b)
                 # forward substitution (L + cM)
-                u_1 = fwd.solve(b)
+                u_1 = sweep(fwd, b, False)
                 u_1 = apply_T_2(u_1)
                 # multiply 0.5 tau M
                 b = 0.5 * tau * ap_M(u_1)
                 b = zero_rows(mask[None] if mask is not None else None, b)
                 # backward substitution (L^T + cM)
-                u_1 = bwd.solve(b, reverse=True)
+                u_1 = sweep(bwd, b, True)
                 return u_0, u_1
 
             return pc_linear
@@ -584,6 +670,7 @@ class Instationary:
         mM = (-M_A)[None]
         fwd = _SweepSolver(sp, mask, F_diag, mM)
         bwd = _SweepSolver(sp, mask, G_diag, mM)
+        sweep = self._sweep_fn(c, n)
         ap_diag = _fast_stack_applier(sp, d10_diag)
         ap_sub = _fast_stack_applier(sp, mM)
         ap_M = _fast_stack_applier(sp, M_A[None])
@@ -597,12 +684,12 @@ class Instationary:
             b = b.at[1:].add(sub)
             b = b - b_1
             b = zero_rows(mask[None] if mask is not None else None, b)
-            u_1 = fwd.solve(b)
+            u_1 = sweep(fwd, b, False)
             # multiply tau M (eps tau M on the final block)
             b = tau * ap_M(u_1)
             b = b.at[n - 1].multiply(eps)
             b = zero_rows(mask[None] if mask is not None else None, b)
-            u_1 = bwd.solve(b, reverse=True)
+            u_1 = sweep(bwd, b, True)
             return u_0, u_1
 
         return pc_linear

@@ -170,6 +170,118 @@ def apply_stencil(w, x, degree, use_pallas=None):
     return y if x.ndim == 3 else y[0]
 
 
+def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
+                      want_residual=False, use_pallas=None):
+    """``steps`` Chebyshev-Jacobi smoothing iterations (+ optionally the
+    final residual) as ONE fused kernel on TPU.
+
+    w: (K, ny, nx) or (n, K, ny, nx); dinv/b/x0: (ny, nx) or (n, ny, nx);
+    theta/delta: scalars (traced ok).  Returns x (and r = b - A x).
+    """
+    d = degree
+    ny, nx = b.shape[-2:]
+    if use_pallas is None:
+        try:
+            platform = next(iter(b.devices())).platform
+        except Exception:
+            platform = jax.default_backend()
+        use_pallas = platform == "tpu" and _vmem_ok(degree, ny, nx, b.dtype)
+
+    sigma1 = theta / delta
+
+    if not use_pallas:
+        x = x0
+        r = b - apply_stencil(w, x, d, use_pallas=False)
+        p = (r * dinv) / theta
+        x = x + p
+        rho = 1.0 / sigma1
+        for _ in range(steps - 1):
+            r = b - apply_stencil(w, x, d, use_pallas=False)
+            rho_new = 1.0 / (2.0 * sigma1 - rho)
+            p = rho_new * rho * p + (2.0 * rho_new / delta) * (r * dinv)
+            x = x + p
+            rho = rho_new
+        if want_residual:
+            r = b - apply_stencil(w, x, d, use_pallas=False)
+            return x, r
+        return x
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    offs = stencil_offsets(d)
+    K = len(offs)
+    batched = b.ndim == 3
+    x_b = x0 if batched else x0[None]
+    b_b = b if batched else b[None]
+    dinv_b = dinv if batched else dinv[None]
+    w_b = w if w.ndim == 4 else w[None]
+    n = b_b.shape[0]
+    w_per_batch = w_b.shape[0] == n and n > 1
+    dtype = b.dtype
+    th = jnp.reshape(jnp.asarray(theta, dtype), (1, 1))
+    de = jnp.reshape(jnp.asarray(delta, dtype), (1, 1))
+
+    def kernel(th_ref, de_ref, w_ref, dinv_ref, b_ref, x_ref,
+               out_ref, r_ref, xp):
+        theta_ = th_ref[0, 0]
+        delta_ = de_ref[0, 0]
+        sigma1_ = theta_ / delta_
+        xp[:] = jnp.zeros_like(xp)
+        xp[d:d + ny, d:d + nx] = x_ref[0]
+
+        def stencil():
+            acc = w_ref[0, 0] * xp[d + offs[0][0]: d + offs[0][0] + ny,
+                                   d + offs[0][1]: d + offs[0][1] + nx]
+            for k in range(1, K):
+                dy, dx_ = offs[k]
+                acc = acc + w_ref[0, k] * xp[d + dy: d + dy + ny,
+                                             d + dx_: d + dx_ + nx]
+            return acc
+
+        r = b_ref[0] - stencil()
+        p = (r * dinv_ref[0]) / theta_
+        xp[d:d + ny, d:d + nx] = xp[d:d + ny, d:d + nx] + p
+        rho = 1.0 / sigma1_
+        for _ in range(steps - 1):
+            r = b_ref[0] - stencil()
+            rho_new = 1.0 / (2.0 * sigma1_ - rho)
+            p = rho_new * rho * p + (2.0 * rho_new / delta_) \
+                * (r * dinv_ref[0])
+            xp[d:d + ny, d:d + nx] = xp[d:d + ny, d:d + nx] + p
+            rho = rho_new
+        out_ref[0] = xp[d:d + ny, d:d + nx]
+        r_ref[0] = b_ref[0] - stencil()
+
+    w_index = (lambda i: (i, 0, 0, 0)) if w_per_batch else \
+        (lambda i: (0, 0, 0, 0))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    x_out, r_out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[smem, smem,
+                  pl.BlockSpec((1, K, ny, nx), w_index,
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((n, ny, nx), dtype),
+                   jax.ShapeDtypeStruct((n, ny, nx), dtype)),
+        scratch_shapes=[pltpu.VMEM((ny + 2 * d, nx + 2 * d), dtype)],
+    )(th, de, w_b, jnp.broadcast_to(dinv_b, b_b.shape),
+      b_b, jnp.broadcast_to(x_b, b_b.shape))
+    if not batched:
+        x_out, r_out = x_out[0], r_out[0]
+    return (x_out, r_out) if want_residual else x_out
+
+
 class StencilOp:
     """Matrix-free operator in node-stencil form (scalar spaces).
 

@@ -66,7 +66,13 @@ def _vec_block(P, dim):
 
 
 class Transfer:
-    """Grid transfer between a degree-d space and its coarsened mesh."""
+    """Grid transfer between a degree-d space and its coarsened mesh.
+
+    Interpolation is translation-invariant on a uniform mesh, so
+    prolongation / restriction lower to a single strided/dilated XLA
+    convolution (one MXU op) with the kernel tabulated from the coarse
+    basis (valid for quads AND triangle pairs; zero padding yields the
+    correct boundary clipping)."""
 
     def __init__(self, fine_space):
         mesh_c = fine_space.mesh.coarsen()
@@ -87,23 +93,104 @@ class Transfer:
             Pk = np.stack([_vec_block(p, fine_space.dim) for p in Pk])
         self._P_child = jnp.asarray(Pk, dtype)       # (4, nloc_f, nloc_c)
 
+        # translation-invariant interpolation kernel: coarse scalar basis at
+        # fine-node offsets o in [-(2d-1), 2d-1]^2
+        d = fine_space.degree
+        L = 2 * d - 1
+        offs = np.arange(-L, L + 1) / (2.0 * d)      # coarse cell-ref units
+        pts = []
+        for oy in offs:
+            for ox in offs:
+                # local coords of the offset point relative to the coarse
+                # node at a cell corner; split into the four quadrants
+                pts.append((ox, oy))
+        kappa = np.zeros((2 * L + 1, 2 * L + 1))
+        # evaluate the coarse nodal basis (node at origin) at each offset
+        # by placing the origin at a cell corner and tabulating per quadrant
+        for iy, oy in enumerate(offs):
+            for ix, ox in enumerate(offs):
+                cx = 0.0 if ox >= 0 else -1.0        # cell containing point
+                cy = 0.0 if oy >= 0 else -1.0
+                lx = ox - cx
+                ly = oy - cy
+                # node index of the origin within that cell
+                ax = 0 if cx == 0.0 else d
+                ay = 0 if cy == 0.0 else d
+                a = ay * (d + 1) + ax
+                N, _ = elements.tabulate_scalar(
+                    fine_space.mesh.cell, d, np.array([[lx, ly]]))
+                kappa[iy, ix] = N[0, a]
+        self._kappa = jnp.asarray(kappa, dtype)
+        self._L = L
+
+    # -- conv-based fast path ------------------------------------------------
+    def _conv_shape(self, x, space):
+        gs = space.grid_shape
+        ng = 2 if space.dim is None else 3
+        batch = x.shape[:-ng]
+        if space.dim is None:
+            xb = x.reshape((-1,) + gs)
+            return xb[:, None], batch, None
+        # fold components into the conv batch
+        xb = jnp.moveaxis(x.reshape((-1,) + gs), -1, 1)
+        xb = xb.reshape((-1, 1) + gs[:2])
+        return xb, batch, space.dim
+
+    def prolong(self, xc):
+        if self.fine.degree != 1:
+            # higher-degree interpolation kernels are node-class dependent;
+            # use the gather/scatter path
+            return self.prolong_slow(xc)
+        sp = self.coarse
+        xb, batch, dim = self._conv_shape(xc, sp)
+        L = self._L
+        k = self._kappa[None, None]
+        out = jax.lax.conv_general_dilated(
+            xb, k, window_strides=(1, 1),
+            padding=((L, L), (L, L)), lhs_dilation=(2, 2),
+            precision=jax.lax.Precision.HIGHEST)
+        fy, fx = self.fine.nodes_y, self.fine.nodes_x
+        if dim is None:
+            return out.reshape(batch + (fy, fx))
+        out = out.reshape((-1, dim, fy, fx))
+        out = jnp.moveaxis(out, 1, -1)
+        return out.reshape(batch + (fy, fx, dim))
+
+    def restrict(self, rf):
+        if self.fine.degree != 1:
+            return self.restrict_slow(rf)
+        sp = self.fine
+        rb, batch, dim = self._conv_shape(rf, sp)
+        L = self._L
+        k = self._kappa[None, None]
+        out = jax.lax.conv_general_dilated(
+            rb, k, window_strides=(2, 2),
+            padding=((L, L), (L, L)),
+            precision=jax.lax.Precision.HIGHEST)
+        cy, cx = self.coarse.nodes_y, self.coarse.nodes_x
+        if dim is None:
+            return out.reshape(batch + (cy, cx))
+        out = out.reshape((-1, dim, cy, cx))
+        out = jnp.moveaxis(out, 1, -1)
+        return out.reshape(batch + (cy, cx, dim))
+
+    # -- reference (gather/scatter) path, kept for verification --------------
     def _cellwise(self, M, xe):
         """Apply scalar cell matrix M to gathered coeffs (componentwise for
         vector spaces)."""
         sp = self.fine
         if sp.dim is None:
             return jnp.einsum("fa,...ea->...ef", M, xe)
-        b = xe.shape[:-2] + (xe.shape[-2],)
         xs = xe.reshape(xe.shape[:-1] + (-1, sp.dim))
         out = jnp.einsum("fa,...eac->...efc", M, xs)
         return out.reshape(out.shape[:-2] + (-1,))
 
-    def prolong(self, xc):
+    def prolong_slow(self, xc):
         xe = self.coarse.gather(xc)
         xf = self._cellwise(self._P_cell, xe)
         return self.virt.scatter_add(xf) / self.mult
 
-    def restrict(self, rf):
+    def restrict_slow(self, rf):
         re = self.virt.gather(rf / self.mult)
         rc = self._cellwise(self._P_cell.T, re)
         return self.coarse.scatter_add(rc)
@@ -218,7 +305,7 @@ class MGConfig:
         params = {"As": As}
         if self.use_stencil:
             from ..ops.stencil import node_stencil
-            Ws, diags, lams = [], [], []
+            Ws, diags, dinvs, lams = [], [], [], []
             for A_l, sp_l, mk in zip(As, self.spaces, self.masks):
                 w = node_stencil(A_l, sp_l, mask=mk)
                 Ws.append(w)
@@ -226,9 +313,11 @@ class MGConfig:
                 d = w[..., K // 2, :, :]
                 d = jnp.where(d == 0, 1.0, d)
                 diags.append(d)
+                dinvs.append(1.0 / d)
                 lams.append(jnp.max(jnp.sum(jnp.abs(w), axis=-3)
                                     / jnp.abs(d)))
-            params = {"Ws": Ws, "diags": diags, "lams": jnp.stack(lams)}
+            params = {"Ws": Ws, "diags": diags, "dinvs": dinvs,
+                      "lams": jnp.stack(lams)}
         else:
             diags, lams = [], []
             for o in ops:
@@ -267,6 +356,13 @@ class MGConfig:
             rho = rho_new
         return x
 
+    def _bounds(self, lam):
+        lam = lam * self.lam_safety
+        lmin = lam / self.lam_frac
+        theta = 0.5 * (lam + lmin)
+        delta = 0.5 * (lam - lmin)
+        return theta, delta
+
     def _vcycle(self, params, appliers, lvl, b, x):
         if lvl == len(appliers) - 1:
             gs = self.spaces[-1].grid_shape
@@ -275,12 +371,31 @@ class MGConfig:
             xs = jnp.einsum("ij,...j->...i", params["Ainv"], bf,
                             precision=jax.lax.Precision.HIGHEST)
             return xs.reshape(b.shape)
+        tr = self.transfers[lvl]
+        mk = self.masks[lvl + 1]
+        if self.use_stencil:
+            from ..ops.stencil import fused_cheb_smooth
+            w = params["Ws"][lvl]
+            dinv = params["dinvs"][lvl]
+            theta, delta = self._bounds(params["lams"][lvl])
+            deg = self.spaces[lvl].degree
+            x, r = fused_cheb_smooth(w, dinv, b, x, self.pre, theta, delta,
+                                     deg, want_residual=True)
+            rc = tr.restrict(r)
+            if mk is not None:
+                rc = jnp.where(mk, 0.0, rc)
+            ec = self._vcycle(params, appliers, lvl + 1, rc,
+                              jnp.zeros_like(rc))
+            if mk is not None:
+                ec = jnp.where(mk, 0.0, ec)
+            x = x + tr.prolong(ec)
+            x = fused_cheb_smooth(w, dinv, b, x, self.post, theta, delta,
+                                  deg)
+            return x
         x = self._smooth(appliers[lvl], params["diags"][lvl],
                          params["lams"][lvl], b, x, self.pre)
         r = b - appliers[lvl](x)
-        tr = self.transfers[lvl]
         rc = tr.restrict(r)
-        mk = self.masks[lvl + 1]
         if mk is not None:
             rc = jnp.where(mk, 0.0, rc)
         ec = self._vcycle(params, appliers, lvl + 1, rc, jnp.zeros_like(rc))
