@@ -82,7 +82,11 @@ class _SweepSolver:
     differ).  Scalar spaces use the fused node-stencil fast path for both
     the sub-diagonal action and the V-cycle operators."""
 
-    def __init__(self, space, mask, diag_A, sub_A, cycles=2):
+    def __init__(self, space, mask, diag_A, sub_A, cycles=1):
+        # one V-cycle with 4+4 Chebyshev smoothing matches the quality of
+        # the reference's 2 BoomerAMG applications per substitution step at
+        # half the sequential-latency cost (measured on the 256^2 x 64 heat
+        # benchmark: same outer iteration count)
         self.space, self.mask, self.cycles = space, mask, cycles
         self.config = MGConfig(space, mask)
         self.shared = diag_A.shape[0] == 1

@@ -244,8 +244,8 @@ class MGConfig:
     ``lax.scan`` sweeps.
     """
 
-    def __init__(self, space, mask=None, *, levels=None, pre=2, post=2,
-                 coarse_max_dofs=3000, lam_frac=4.0, lam_safety=1.05):
+    def __init__(self, space, mask=None, *, levels=None, pre=4, post=4,
+                 coarse_max_dofs=4500, lam_frac=4.0, lam_safety=1.05):
         self.pre, self.post = pre, post
         self.lam_frac, self.lam_safety = lam_frac, lam_safety
 
