@@ -1,0 +1,99 @@
+"""Unit tests for the node-stencil fast path and the native I/O runtime."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from control_tpu.fem import (
+    UnitSquareMesh, FunctionSpace, Function, TrialFunction, TestFunction,
+    SpatialCoordinate, DirichletBC, grad, inner, dx, assemble, Constant)
+from control_tpu.ops.stencil import (StencilOp, node_stencil, apply_stencil,
+                                     fused_cheb_smooth)
+from control_tpu.ops.local_op import MaskedOp
+
+
+@pytest.mark.parametrize("quad", [True, False])
+@pytest.mark.parametrize("degree", [1, 2])
+def test_stencil_equals_local_op(quad, degree):
+    mesh = UnitSquareMesh(5, 7, quadrilateral=quad)
+    V = FunctionSpace(mesh, "Lagrange", degree)
+    X = SpatialCoordinate(mesh)
+    u, v = TrialFunction(V), TestFunction(V)
+    w_fun = Function(V).interpolate(X[0] + 0.3 * X[1])
+    A = assemble(inner(grad(u), grad(v)) * dx
+                 + (Constant(1.0) + w_fun ** 2.0) * inner(u, v) * dx)
+    bc = DirichletBC(V, 0.0, "on_boundary")
+    Am = MaskedOp(A, bc.mask)
+    S = StencilOp.from_local(Am)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(*V.grid_shape))
+    assert float(jnp.abs(S.apply(x) - Am.apply(x)).max()) < 1e-13
+    assert float(jnp.abs(S.diag() - Am.diag()).max()) < 1e-14
+    # unmasked + batched
+    S2 = StencilOp.from_local(A)
+    xb = jnp.asarray(rng.randn(4, *V.grid_shape))
+    assert float(jnp.abs(S2.apply(xb) - A.apply(xb)).max()) < 1e-13
+
+
+def test_fused_cheb_matches_reference_iteration():
+    mesh = UnitSquareMesh(8, 8, quadrilateral=True)
+    V = FunctionSpace(mesh, "Lagrange", 1)
+    u, v = TrialFunction(V), TestFunction(V)
+    bc = DirichletBC(V, 0.0, "on_boundary")
+    A = assemble(inner(grad(u), grad(v)) * dx + inner(u, v) * dx)
+    w = node_stencil(A.A, V, mask=bc.mask)
+    K = w.shape[0]
+    d = jnp.where(w[K // 2] == 0, 1.0, w[K // 2])
+    rng = np.random.RandomState(1)
+    b = jnp.asarray(rng.randn(*V.grid_shape))
+    x0 = jnp.zeros_like(b)
+    theta, delta = 1.3, 0.9
+
+    # reference loop (mirrors solvers.krylov.chebyshev)
+    x = x0
+    sigma1 = theta / delta
+    r = b - apply_stencil(w, x, 1)
+    p = (r / d) / theta
+    x = x + p
+    rho = 1.0 / sigma1
+    for _ in range(3):
+        r = b - apply_stencil(w, x, 1)
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        p = rho_new * rho * p + (2.0 * rho_new / delta) * (r / d)
+        x = x + p
+        rho = rho_new
+
+    xf, rf = fused_cheb_smooth(w, 1.0 / d, b, x0, 4, theta, delta, 1,
+                               want_residual=True)
+    assert float(jnp.abs(xf - x).max()) < 1e-12
+    assert float(jnp.abs(rf - (b - apply_stencil(w, x, 1))).max()) < 1e-12
+
+
+def test_native_io_roundtrip(tmp_path):
+    from control_tpu.native import (available, write_vtk_native,
+                                    ckpt_write_native, ckpt_read_native)
+    if not available():
+        pytest.skip("native library not built")
+    mesh = UnitSquareMesh(4, 4, quadrilateral=True)
+    V = FunctionSpace(mesh, "Lagrange", 1)
+    arr = np.arange(25.0).reshape(5, 5)
+    assert write_vtk_native(str(tmp_path / "t.vtk"), V, {"v": arr})
+    assert (tmp_path / "t.vtk").exists()
+    data = np.arange(24.0).reshape(2, 3, 4)
+    assert ckpt_write_native(str(tmp_path / "t.ckpt"), data)
+    back = ckpt_read_native(str(tmp_path / "t.ckpt"))
+    assert back.shape == (2, 3, 4)
+    assert np.abs(back - data).max() == 0.0
+
+
+def test_checkpoint_resume(tmp_path):
+    """Checkpoint + load/resume (the reference's CheckpointFile is
+    write-only; reference control/control.py:600-604)."""
+    from control_tpu.utils import io as cio
+    mesh = UnitSquareMesh(4, 4, quadrilateral=True)
+    V = FunctionSpace(mesh, "Lagrange", 2)
+    X = SpatialCoordinate(mesh)
+    f = Function(V).interpolate(X[0] * X[1])
+    cio.write_solution(str(tmp_path / "v"), f)
+    g = cio.load_solution(str(tmp_path / "v"), V)
+    assert float(jnp.abs(g.data - f.data).max()) == 0.0
