@@ -244,8 +244,14 @@ class MGConfig:
     ``lax.scan`` sweeps.
     """
 
-    def __init__(self, space, mask=None, *, levels=None, pre=4, post=4,
+    def __init__(self, space, mask=None, *, levels=None, pre=8, post=8,
                  coarse_max_dofs=4500, lam_frac=4.0, lam_safety=1.05):
+        # default smoothing strength chosen on the 256^2 x 64 heat
+        # benchmark: one V-cycle with 8+8 Chebyshev steps per Schur
+        # substitution gives 9 outer GMRES iterations (vs 16-17 with
+        # lighter smoothing) at lower total cost -- on TPU the per-op
+        # dispatch latency dominates, so deeper fused smoothing kernels
+        # are nearly free
         self.pre, self.post = pre, post
         self.lam_frac, self.lam_safety = lam_frac, lam_safety
 
