@@ -156,7 +156,184 @@ def _build(dtype_name):
     return solve, (u_0, u_1, b_0, b_1)
 
 
+def _build_extra(config):
+    """Secondary BASELINE configs (BENCH_CONFIG=poisson|convdiff|stokes):
+    TPU-only timing of one KKT solve each."""
+    import jax
+    import jax.numpy as jnp
+    from control_tpu import (Control, UnitSquareMesh, RectangleMesh,
+                             FunctionSpace, VectorFunctionSpace, Function,
+                             DirichletBC, SpatialCoordinate, ConstantNullspace,
+                             grad, div, inner, dot, dx, as_vector, sin, cos,
+                             pi)
+
+    dtype = jnp.float32
+    if config == "poisson":
+        # stationary Poisson distributed control, 256^2 Q1
+        mesh = UnitSquareMesh(256, 256, quadrilateral=True, dtype=dtype)
+        space = FunctionSpace(mesh, "Lagrange", 1)
+        X = SpatialCoordinate(mesh)
+
+        def fdo(trial, test, u):
+            return inner(grad(trial), grad(test)) * dx
+
+        def ds_(test):
+            v_d = Function(space).interpolate(
+                sin(pi * X[0]) * sin(pi * X[1]))
+            return inner(v_d, test) * dx, v_d
+
+        def ff(test):
+            return inner(Function(space), test) * dx
+
+        ctl = Control.Stationary(space, fdo, desired_state=ds_, force_f=ff,
+                                 beta=1e-4,
+                                 bcs_v=DirichletBC(space, 0.0,
+                                                   "on_boundary"))
+
+        def run():
+            ctl.linear_solve(lambda_v_bounds=(0.25, 2.25),
+                             solver_parameters={
+                                 "linear_solver": "gmres",
+                                 "gmres_restart": 10,
+                                 "maximum_iterations": 50,
+                                 "relative_tolerance": 1.0e-6,
+                                 "absolute_tolerance": 0.0,
+                                 "monitor_convergence": False},
+                             print_error=False, create_output=False,
+                             plots=False)
+            return ctl.last_solve_info
+        return run
+
+    if config == "convdiff":
+        # instationary convection-diffusion control (nonsymmetric), 128^2x32
+        mesh = RectangleMesh(64, 64, 2.0, 2.0, quadrilateral=True,
+                             dtype=dtype)
+        space = FunctionSpace(mesh, "Lagrange", 1)
+        X = SpatialCoordinate(mesh)
+        nu = 1.0 / 50.0
+
+        def fdo(trial, test, u, t):
+            wind = as_vector([X[1] - 1.0, 1.0 - X[0]])
+            return (nu * inner(grad(trial), grad(test)) * dx
+                    + inner(dot(wind, grad(trial)), test) * dx)
+
+        def ds_(test, t):
+            v_d = Function(space).interpolate(
+                sin(0.5 * pi * X[0]) * sin(0.5 * pi * X[1]))
+            return inner(v_d, test) * dx, v_d
+
+        def ff(test, t):
+            return inner(Function(space), test) * dx
+
+        def bc_t(s, t):
+            return DirichletBC(s, 0.0, "on_boundary")
+
+        ctl = Control.Instationary(space, fdo, desired_state=ds_,
+                                   force_f=ff, beta=1e-2, n_t=16,
+                                   time_interval=(0.0, 2.0), CN=True,
+                                   bcs_v=bc_t)
+
+        def run():
+            ctl.linear_solve(lambda_v_bounds=(0.25, 2.25),
+                             solver_parameters={
+                                 "linear_solver": "gmres",
+                                 "gmres_restart": 10,
+                                 "maximum_iterations": 50,
+                                 "relative_tolerance": 1.0e-6,
+                                 "absolute_tolerance": 0.0,
+                                 "monitor_convergence": False},
+                             print_error=False, create_output=False,
+                             plots=False)
+            return ctl.last_solve_info
+        return run
+
+    if config == "stokes":
+        # instationary Stokes control (Taylor-Hood Q2-Q1), 32^2 x 16
+        mesh = UnitSquareMesh(32, 32, quadrilateral=True, dtype=dtype)
+        space_v = VectorFunctionSpace(mesh, "Lagrange", 2)
+        space_p = FunctionSpace(mesh, "Lagrange", 1)
+
+        def fdo(trial, test, u, t):
+            return inner(grad(trial), grad(test)) * dx
+
+        def ds_(test, t):
+            X = SpatialCoordinate(mesh)
+            v_d = Function(space_v).interpolate(
+                (0.2 * sin(pi * X[0]) * sin(pi * X[1]),
+                 0.1 * sin(2 * pi * X[0]) * sin(pi * X[1])))
+            return inner(v_d, test) * dx, v_d
+
+        def ff(test, t):
+            return inner(Function(space_v), test) * dx
+
+        def bc_t(s, t):
+            return DirichletBC(s, (0.0, 0.0), "on_boundary")
+
+        ctl = Control.Instationary(space_v, fdo, desired_state=ds_,
+                                   force_f=ff, beta=1e-2, space_p=space_p,
+                                   n_t=16, time_interval=(0.0, 1.0),
+                                   CN=True, bcs_v=bc_t)
+
+        def run():
+            ctl.incompressible_linear_solve(
+                ConstantNullspace(),
+                lambda_v_bounds=(0.25, 1.5625),
+                lambda_p_bounds=(0.25, 2.25),
+                solver_parameters={"linear_solver": "fgmres",
+                                   "gmres_restart": 10,
+                                   "maximum_iterations": 100,
+                                   "relative_tolerance": 1.0e-6,
+                                   "absolute_tolerance": 0.0,
+                                   "monitor_convergence": False},
+                print_error=False, create_output=False, plots=False)
+            return ctl.last_solve_info
+        return run
+
+    raise ValueError(f"unknown BENCH_CONFIG {config!r}")
+
+
+def run_extra(config):
+    """Secondary configs report a single solve through the high-level API
+    (currently re-jits per call -- see TODO.md on solve caching), so the
+    time INCLUDES compilation; iterations/convergence are the signal."""
+    import jax
+    t0 = time.time()
+    try:
+        if jax.default_backend() == "cpu":
+            run = _build_extra(config)
+        else:
+            with jax.default_device(jax.devices("cpu")[0]):
+                run = _build_extra(config)
+        info = run()
+        out = {"metric": f"{config}_kkt_solve_incl_compile",
+               "value": round(time.time() - t0, 2), "unit": "s",
+               "vs_baseline": 0.0, "iterations": info.iterations,
+               "converged": info.converged,
+               "backend": jax.default_backend()}
+    except Exception as e:  # pragma: no cover
+        out = {"metric": f"{config}_kkt_solve_incl_compile", "value": -1.0,
+               "unit": "s", "vs_baseline": 0.0,
+               "error": f"{type(e).__name__}: {e}"[:200]}
+    print(json.dumps(out))
+
+
 def main():
+    cfg = os.environ.get("BENCH_CONFIG")
+    if cfg and "--cpu-proxy" not in sys.argv:
+        import jax as _jax
+        if cfg == "stokes" and _jax.default_backend() != "cpu":
+            # the instationary Stokes compile reproducibly crashes this
+            # environment's remote TPU compiler (worker restart); the
+            # configuration is exercised on CPU by
+            # tests/test_instationary_stokes.py
+            print(json.dumps({"metric": "stokes_kkt_solve_incl_compile",
+                              "value": -1.0, "unit": "s",
+                              "vs_baseline": 0.0,
+                              "skipped": "TPU remote-compiler crash; "
+                                         "run on CPU or see tests"}))
+            return
+        run_extra(cfg)
+        return
     if "--cpu-proxy" in sys.argv:
         import jax
         jax.config.update("jax_platforms", "cpu")

@@ -3,8 +3,23 @@
 building blocks) and Picard / Gauss-Newton operator construction.
 """
 
+from contextlib import contextmanager
+
 import jax
 import jax.numpy as jnp
+
+
+@contextmanager
+def host_setup():
+    """Run eager problem setup (assembly, hierarchy construction, rhs) on
+    the host CPU device: on accelerator backends, thousands of small eager
+    dispatches are pathologically slow.  The jitted solve itself still runs
+    on the accelerator (MultiBlockSystem.solve moves its inputs there)."""
+    if jax.default_backend() == "cpu":
+        yield
+        return
+    with jax.default_device(jax.devices("cpu")[0]):
+        yield
 
 from ..fem.expr import Expr
 from ..fem.forms import Form

@@ -419,6 +419,7 @@ class Instationary:
     def _D_stack(self, v_old_data):
         """Stacked local matrices (n_t|1, E|1, b, a) of D_v at all time
         points; one vmapped assembly when state/time-dependent."""
+        from .common import host_setup
         dep_v, dep_t = self._probe_dependence()
         times = jnp.asarray(self._times(), self._space_v.mesh.dtype)
         if not dep_v and not dep_t:
@@ -804,6 +805,10 @@ class Instationary:
                      f=None, print_error=True, create_output=True,
                      plots=False):
         """All-at-once KKT solve (reference control/control.py:2820-3375)."""
+        from contextlib import ExitStack
+        from .common import host_setup
+        _hs = ExitStack()
+        _hs.enter_context(host_setup())
         space_v = self._space_v
         n_t, tau, beta = self._n_t, self._tau, self._beta
         epsilon = None if self._CN else 1.0e-3
@@ -849,6 +854,7 @@ class Instationary:
 
         v = MixedFunction(space_v, n_blocks, name="v")
         zeta = MixedFunction(space_v, n_blocks, name="zeta")
+        _hs.close()
         info = system.solve(v, zeta, b_0, b_1,
                             solver_parameters=solver_parameters,
                             pc_fn=pc_fn)
@@ -943,6 +949,10 @@ class Instationary:
                          create_output=True, plots=False):
         """Picard / Gauss-Newton outer loop
         (reference control/control.py:3377-3590)."""
+        from contextlib import ExitStack
+        from .common import host_setup
+        _hs = ExitStack()
+        _hs.enter_context(host_setup())
         space_v = self._space_v
         n_t, tau = self._n_t, self._tau
 
@@ -1008,6 +1018,7 @@ class Instationary:
             if k + 1 > max_non_linear_iter:
                 break
 
+        _hs.close()
         if print_error_non_linear:
             if (norm_k < relative_non_linear_tol * norm_0
                     or norm_k < absolute_non_linear_tol):
@@ -1197,8 +1208,11 @@ class Instationary:
         fixed-5-iteration GMRES on the full space-time velocity KKT plus a
         per-time-block pressure Schur K_p^{-1} (KKT_p) M_p^{-1} with 1/tau^2
         scaling and T sandwiches."""
+        from contextlib import ExitStack
         from ..solvers.block import BlockAction
-        from .common import BlockSolver
+        from .common import BlockSolver, host_setup
+        _hs = ExitStack()
+        _hs.enter_context(host_setup())
         space_v = self._space_v
         if space_p is None:
             if self._space_p is None:
@@ -1330,6 +1344,7 @@ class Instationary:
 
         u_0_sol = MixedFunction(space_v, 2 * n)
         u_1_sol = MixedFunction(space_p, 2 * n)
+        _hs.close()
         info = system.solve(u_0_sol, u_1_sol, b_0, b_1,
                             solver_parameters=solver_parameters,
                             pc_fn=pc_fn)
@@ -1381,6 +1396,10 @@ class Instationary:
                                         create_output=True, plots=False):
         """Picard/Gauss-Newton loop for the incompressible problem
         (reference control/control.py:4886-5359)."""
+        from contextlib import ExitStack
+        from .common import host_setup
+        _hs = ExitStack()
+        _hs.enter_context(host_setup())
         space_v = self._space_v
         if space_p is None:
             if self._space_p is None:
@@ -1479,6 +1498,7 @@ class Instationary:
             if k + 1 > max_non_linear_iter:
                 break
 
+        _hs.close()
         if print_error_non_linear:
             if (norm_k < relative_non_linear_tol * norm_0
                     or norm_k < absolute_non_linear_tol):

@@ -247,6 +247,10 @@ class Stationary:
                      Multigrid=False, lambda_v_bounds=None, v_d=None,
                      f=None, print_error=True, create_output=True,
                      plots=False):
+        from contextlib import ExitStack
+        from .common import host_setup
+        _hs = ExitStack()
+        _hs.enter_context(host_setup())
         space_v = self._space_v
         inhom, bcs_v, bcs_v_help = self._setup_bcs()
         bcs_zeta = bcs_v
@@ -296,6 +300,7 @@ class Stationary:
 
         v = Function(space_v, name="v")
         zeta = Function(space_v, name="zeta")
+        _hs.close()
         info = system.solve(v, zeta, v_d, f,
                             solver_parameters=solver_parameters,
                             pc_fn=pc_fn)
@@ -429,6 +434,10 @@ class Stationary:
         """Velocity-pressure KKT solve with the nested preconditioner
         (reference control/control.py:802-1201): inner 5-iteration GMRES on
         the velocity KKT + pressure Schur K_p^{-1} (KKT_p) M_p^{-1}."""
+        from contextlib import ExitStack
+        from .common import host_setup
+        _hs = ExitStack()
+        _hs.enter_context(host_setup())
         space_v = self._space_v
         if space_p is None:
             if self._space_p is None:
@@ -553,6 +562,7 @@ class Stationary:
         from ..fem.space import MixedFunction
         u_0_sol = MixedFunction(space_v, 2)
         u_1_sol = MixedFunction(space_p, 2)
+        _hs.close()
         info = system.solve(u_0_sol, u_1_sol, b_0, b_1,
                             solver_parameters=solver_parameters,
                             pc_fn=pc_fn)
@@ -596,6 +606,10 @@ class Stationary:
                                         create_output=True, plots=False):
         """Picard/Gauss-Newton loop with the incompressibility constraint
         (reference control/control.py:1203-1487)."""
+        from contextlib import ExitStack
+        from .common import host_setup
+        _hs = ExitStack()
+        _hs.enter_context(host_setup())
         space_v = self._space_v
         if space_p is None:
             if self._space_p is None:
@@ -683,6 +697,7 @@ class Stationary:
             if k + 1 > max_non_linear_iter:
                 break
 
+        _hs.close()
         if print_error_non_linear:
             if (norm_k < relative_non_linear_tol * norm_0
                     or norm_k < absolute_non_linear_tol):

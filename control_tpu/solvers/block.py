@@ -472,7 +472,21 @@ class MultiBlockSystem:
         u1 = self._as_stack(u_1, self.n1, self.space_1)
         b0 = self._as_stack(b_0, self.n0, self.space_0)
         b1 = self._as_stack(b_1, self.n1, self.space_1)
+        # setup typically runs on the host device (models.common.host_setup);
+        # place inputs on the accelerator for the jitted solve, then bring
+        # the solution back so subsequent eager setup stays host-side
+        on_accel = jax.default_backend() != "cpu"
+        if on_accel:
+            dev = jax.devices()[0]
+            u0, u1, b0, b1 = (jax.device_put(x, dev)
+                              for x in (u0, u1, b0, b1))
         u0, u1, info = fn(u0, u1, b0, b1)
+        if on_accel:
+            host = jax.devices("cpu")[0]
+            u0 = jax.device_put(u0, host)
+            u1 = jax.device_put(u1, host)
+            info = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, host), info)
 
         info = SolveInfo(info["iterations"], info["res_norms"],
                          info["converged"], info["rnorm0"], info["rnorm"])
