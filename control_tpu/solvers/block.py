@@ -418,15 +418,70 @@ class MultiBlockSystem:
             return stack
         return target
 
+    # every key consumed by the reference's KSP driver
+    # (reference preconditioner/preconditioner.py:732-756); unknown keys
+    # raise instead of being silently ignored
+    _KNOWN_SOLVER_PARAMETERS = frozenset({
+        "linear_solver", "gmres_restart", "fgmres_restart",
+        "relative_tolerance", "absolute_tolerance", "maximum_iterations",
+        "divergence limit", "divergence_limit", "norm_type", "pc_side",
+        "monitor_convergence", "preconditioner"})
+
+    @classmethod
+    def _resolve_solver_parameters(cls, sp):
+        """Validate the reference's solver_parameters dict and resolve
+        (method, flexible) from linear_solver / pc_side / norm_type
+        (reference preconditioner/preconditioner.py:732-756)."""
+        unknown = set(sp) - cls._KNOWN_SOLVER_PARAMETERS
+        if unknown:
+            raise ValueError(
+                f"unknown solver_parameters keys: {sorted(unknown)}")
+        method = sp.get("linear_solver", "fgmres")
+        norm_type = sp.get("norm_type", "default")
+        pc_side = sp.get("pc_side", "default")
+        if norm_type not in ("default", "preconditioned",
+                             "unpreconditioned"):
+            raise ValueError(f"unknown norm_type {norm_type!r}")
+        if pc_side not in ("default", "left", "right"):
+            raise ValueError(f"unknown pc_side {pc_side!r}")
+        if method == "gmres":
+            # PETSc GMRES: left pc + preconditioned norm by default;
+            # right pc (or unpreconditioned norm) is the flexible kernel
+            # with a fixed preconditioner
+            if pc_side == "right" and norm_type == "preconditioned":
+                raise ValueError(
+                    "gmres with pc_side='right' uses the unpreconditioned "
+                    "residual norm")
+            flexible = pc_side == "right" or norm_type == "unpreconditioned"
+        elif method == "fgmres":
+            if pc_side == "left" or norm_type == "preconditioned":
+                raise ValueError(
+                    "fgmres is right-preconditioned with the "
+                    "unpreconditioned residual norm")
+            flexible = True
+        elif method == "minres":
+            if pc_side == "right" or norm_type == "unpreconditioned":
+                raise ValueError(
+                    "minres is left-preconditioned with the "
+                    "preconditioned residual norm")
+            flexible = False
+        else:
+            raise ValueError(f"unknown linear_solver {method!r}")
+        return method, flexible
+
     def solve_fn(self, solver_parameters=None, pc_fn=None):
         """A pure, traceable function
         (u0, u1, b0, b1) -> (u0, u1, info_dict); suitable for nesting
         inside outer preconditioners."""
         sp = dict(solver_parameters or {})
-        method = sp.get("linear_solver", "fgmres")
+        method, flexible = self._resolve_solver_parameters(sp)
+        if method == "gmres" and flexible:
+            method = "fgmres"
         rtol = sp.get("relative_tolerance", 1.0e-6)
         atol = sp.get("absolute_tolerance", 0.0)
         maxiter = sp.get("maximum_iterations", 1000)
+        dtol = sp.get("divergence limit",
+                      sp.get("divergence_limit", None))
         restart = sp.get("gmres_restart",
                          sp.get("fgmres_restart", 30))
 
@@ -453,7 +508,8 @@ class MultiBlockSystem:
             b1 = _apply_per_block(self.ns1, "correct_rhs", b1)
             x, info = krylov.solve_krylov(
                 method, operator, (b0, b1), x0=(u0, u1), M=wrapped_pc,
-                restart=restart, rtol=rtol, atol=atol, maxiter=maxiter)
+                restart=restart, rtol=rtol, atol=atol, maxiter=maxiter,
+                dtol=dtol)
             u0, u1 = x
             u0 = _apply_per_block(self.ns0, "correct_soln", u0)
             u1 = _apply_per_block(self.ns1, "correct_soln", u1)

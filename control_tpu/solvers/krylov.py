@@ -41,7 +41,8 @@ def _norm(x):
 # GMRES / FGMRES
 # ---------------------------------------------------------------------------
 
-def _gmres_impl(A, b, x0, M, restart, rtol, atol, maxiter, flexible):
+def _gmres_impl(A, b, x0, M, restart, rtol, atol, maxiter, flexible,
+                dtol=None):
     b_flat, unravel = ravel_pytree(b)
     n = b_flat.shape[0]
     dtype = b_flat.dtype
@@ -63,6 +64,9 @@ def _gmres_impl(A, b, x0, M, restart, rtol, atol, maxiter, flexible):
     # (preconditioned) right-hand side, not the initial residual.
     bnorm = _norm(Mf(b_flat)) if not flexible else _norm(b_flat)
     tol = jnp.maximum(rtol * bnorm, atol)
+    # PETSc divtol: declare divergence once rnorm > dtol * rnorm0
+    dlim = (jnp.inf if dtol is None
+            else jnp.asarray(dtol, rnorm0.dtype) * rnorm0)
     hist = hist.at[0].set(rnorm0)
 
     def cycle_body(state):
@@ -79,7 +83,7 @@ def _gmres_impl(A, b, x0, M, restart, rtol, atol, maxiter, flexible):
 
         def arnoldi_cond(st):
             j, V, Z, H, cs, sn, g, it, rn, hist = st
-            return (j < m) & (rn > tol) & (it < maxiter)
+            return (j < m) & (rn > tol) & (it < maxiter) & (rn <= dlim)
 
         def arnoldi_body(st):
             j, V, Z, H, cs, sn, g, it, rn, hist = st
@@ -149,7 +153,7 @@ def _gmres_impl(A, b, x0, M, restart, rtol, atol, maxiter, flexible):
 
     def cond(state):
         x, it, rnorm, hist, _ = state
-        return (rnorm > tol) & (it < maxiter)
+        return (rnorm > tol) & (it < maxiter) & (rnorm <= dlim)
 
     init = (x, jnp.asarray(0), rnorm0, hist, jnp.asarray(0))
 
@@ -165,24 +169,25 @@ def _gmres_impl(A, b, x0, M, restart, rtol, atol, maxiter, flexible):
 
 
 def gmres(A, b, x0=None, *, M=None, restart=30, rtol=1e-6, atol=0.0,
-          maxiter=1000):
+          maxiter=1000, dtol=None):
     """Left-preconditioned restarted GMRES (PETSc-default semantics)."""
     return _gmres_impl(A, b, x0, M, restart, rtol, atol, maxiter,
-                       flexible=False)
+                       flexible=False, dtol=dtol)
 
 
 def fgmres(A, b, x0=None, *, M=None, restart=30, rtol=1e-6, atol=0.0,
-           maxiter=1000):
+           maxiter=1000, dtol=None):
     """Flexible (right-preconditioned) GMRES; true residual norm."""
     return _gmres_impl(A, b, x0, M, restart, rtol, atol, maxiter,
-                       flexible=True)
+                       flexible=True, dtol=dtol)
 
 
 # ---------------------------------------------------------------------------
 # MINRES
 # ---------------------------------------------------------------------------
 
-def minres(A, b, x0=None, *, M=None, rtol=1e-6, atol=0.0, maxiter=1000):
+def minres(A, b, x0=None, *, M=None, rtol=1e-6, atol=0.0, maxiter=1000,
+           dtol=None):
     """Preconditioned MINRES (A symmetric, M SPD)."""
     b_flat, unravel = ravel_pytree(b)
     dtype = b_flat.dtype
@@ -195,6 +200,8 @@ def minres(A, b, x0=None, *, M=None, rtol=1e-6, atol=0.0, maxiter=1000):
     gamma = jnp.sqrt(jnp.maximum(jnp.vdot(r, z), 0.0))
     rnorm0 = gamma
     tol = jnp.maximum(rtol * rnorm0, atol)
+    dlim = (jnp.inf if dtol is None
+            else jnp.asarray(dtol, rnorm0.dtype) * rnorm0)
     hist = jnp.full((maxiter + 1,), jnp.nan, dtype).at[0].set(rnorm0)
 
     state = dict(
@@ -208,7 +215,8 @@ def minres(A, b, x0=None, *, M=None, rtol=1e-6, atol=0.0, maxiter=1000):
         rnorm=rnorm0, it=jnp.asarray(0), hist=hist)
 
     def cond(st):
-        return (st["rnorm"] > tol) & (st["it"] < maxiter)
+        return (st["rnorm"] > tol) & (st["it"] < maxiter) \
+            & (st["rnorm"] <= dlim)
 
     def body(st):
         Az = Af(st["z"])

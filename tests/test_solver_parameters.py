@@ -1,0 +1,83 @@
+"""solver_parameters surface of the KSP-driver replacement.
+
+The reference's custom KSP driver consumes linear_solver, gmres_restart,
+tolerances, divergence limit, norm_type, pc_side, monitor_convergence and
+the preconditioner flag (reference preconditioner/preconditioner.py:732-756).
+Unknown keys must raise; known keys must act.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from control_tpu import (UnitSquareMesh, FunctionSpace, TrialFunction,
+                         TestFunction, inner, grad, dx)
+from control_tpu.fem.assemble import assemble
+from control_tpu.solvers.block import MultiBlockSystem
+
+
+@pytest.fixture(scope="module")
+def system():
+    mesh = UnitSquareMesh(8, 8, quadrilateral=True)
+    sp = FunctionSpace(mesh, "Lagrange", 1)
+    u, v = TrialFunction(sp), TestFunction(sp)
+    K = assemble(inner(grad(u), grad(v)) * dx + inner(u, v) * dx)
+    sys_ = MultiBlockSystem(sp, sp, block_00={(0, 0): K}, block_01={},
+                            block_10={}, block_11={(0, 0): K})
+    b = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1,) + sp.grid_shape))
+    return sys_, b
+
+
+def test_unknown_key_raises(system):
+    sys_, b = system
+    with pytest.raises(ValueError, match="unknown solver_parameters"):
+        sys_.solve_fn(solver_parameters={"bogus_key": 1})
+
+
+@pytest.mark.parametrize("params", [
+    {"linear_solver": "gmres", "pc_side": "right"},
+    {"linear_solver": "gmres", "norm_type": "unpreconditioned"},
+    {"linear_solver": "fgmres", "norm_type": "unpreconditioned",
+     "pc_side": "right"},
+    {"linear_solver": "minres", "norm_type": "preconditioned",
+     "pc_side": "left"},
+])
+def test_norm_type_pc_side_act(system, params):
+    sys_, b = system
+    params = dict(params, monitor_convergence=False,
+                  relative_tolerance=1e-10, maximum_iterations=500)
+    info = sys_.solve(0.0 * b, 0.0 * b, b, b, solver_parameters=params)
+    assert info.converged
+
+
+@pytest.mark.parametrize("params", [
+    {"linear_solver": "fgmres", "pc_side": "left"},
+    {"linear_solver": "fgmres", "norm_type": "preconditioned"},
+    {"linear_solver": "minres", "pc_side": "right"},
+    {"linear_solver": "minres", "norm_type": "unpreconditioned"},
+    {"linear_solver": "gmres", "pc_side": "right",
+     "norm_type": "preconditioned"},
+    {"linear_solver": "gmres", "norm_type": "not_a_norm"},
+    {"linear_solver": "gmres", "pc_side": "sideways"},
+    {"linear_solver": "not_a_solver"},
+])
+def test_invalid_combinations_raise(system, params):
+    sys_, b = system
+    with pytest.raises(ValueError):
+        sys_.solve_fn(solver_parameters=params)
+
+
+def test_divergence_limit(system):
+    """divtol semantics: halt once rnorm > dtol * rnorm0 and report
+    non-convergence (dtol < 1 halts immediately); a large dtol leaves the
+    solve unaffected."""
+    sys_, b = system
+    with pytest.raises(RuntimeError, match="failed to converge"):
+        sys_.solve(0.0 * b, 0.0 * b, b, b, solver_parameters={
+            "linear_solver": "gmres", "monitor_convergence": False,
+            "divergence limit": 0.5, "maximum_iterations": 500})
+    info = sys_.solve(0.0 * b, 0.0 * b, b, b, solver_parameters={
+        "linear_solver": "gmres", "monitor_convergence": False,
+        "divergence limit": 1.0e6, "maximum_iterations": 500})
+    assert info.converged
