@@ -121,6 +121,40 @@ def gauss_newton_operator(form_fn, space_v, v_fun, extra_args=()):
     return LocalOp(A, space_v, space_v)
 
 
+def trial_linearized_operator(form_fn, space, coef_fun, extra_args=()):
+    """Linearisation of the *trial slot* of ``form_fn(trial, test, coef,
+    *extra_args)`` on ``space``, with the coefficient ``coef_fun`` held
+    fixed.
+
+    This is the Gauss-Newton analogue of the pressure-space operator used
+    in the incompressible Schur approximation (reference
+    control/control.py:979-984 builds it via construct_D_v on pressure
+    trial/test): the direction of the reference's ``ufl.derivative`` lives
+    in the *velocity* space and has no pressure-space analogue, so the
+    honest pressure-space linearisation differentiates the form in its own
+    trial argument only.  For trial-linear (Picard-style) forms this equals
+    plain assembly; for residual-style forms it is the true trial-slot
+    Jacobian at 0.
+    """
+    test = _test_of(space)
+    p_fun = Function(space)
+    form = form_fn(p_fun, test, coef_fun, *extra_args)
+    if not isinstance(form, Form):
+        raise TypeError("forward operator must return a Form")
+    pe0 = space.gather(p_fun.data)
+    nloc = space.nloc
+
+    def res(pe):
+        return element_tensor(form, coef_override={id(p_fun): pe})
+
+    cols = []
+    for a in range(nloc):
+        tangent = jnp.zeros_like(pe0).at[:, a].set(1.0)
+        cols.append(jax.jvp(res, (pe0,), (tangent,))[1])
+    A = jnp.stack(cols, axis=-1)          # (E, b, a)
+    return LocalOp(A, space, space)
+
+
 def residual_vector(form_fn, space_v, v_fun, extra_args=()):
     """Assemble the nonlinear residual N(v; test): the form with the trial
     slot bound to the state (= action(D_v, v) for Picard-style forms)."""

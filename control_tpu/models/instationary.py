@@ -1042,11 +1042,11 @@ class Instationary:
     # =====================================================================
     def _D_p_stack(self, v_old_data):
         """Pressure-space analogue of the forward operator (for the Schur
-        approximation; reference control/control.py:3786-3789)."""
-        if self._Gauss_Newton:
-            raise NotImplementedError(
-                "built-in incompressible preconditioner requires the "
-                "Picard operator; pass P= for Gauss-Newton")
+        approximation; reference control/control.py:3786-3789).  Picard
+        assembles the form on pressure trial/test; Gauss-Newton linearises
+        the pressure-space form in its trial slot with the velocity
+        coefficient held fixed (see common.trial_linearized_operator)."""
+        from .common import trial_linearized_operator
         sp_p = self._space_p
         p_trial, p_test = TrialFunction(sp_p), TestFunction(sp_p)
         vfun = Function(self._space_v)
@@ -1054,15 +1054,20 @@ class Instationary:
         form = self._forward_form(p_trial, p_test, vfun, tc)
         dep_v = _form_contains(form, vfun)
         dep_t = _form_contains(form, tc)
-        if not dep_v and not dep_t:
-            return assemble(form).A[None]
-        times = jnp.asarray(self._times(), sp_p.mesh.dtype)
 
         def one(vdata, t):
             vf = Function(self._space_v, data=vdata)
-            return assemble(self._forward_form(p_trial, p_test, vf,
-                                               Constant(t))).A
+            if not self._Gauss_Newton:
+                return assemble(self._forward_form(p_trial, p_test, vf,
+                                                   Constant(t))).A
+            return trial_linearized_operator(
+                self._forward_form, sp_p, vf,
+                extra_args=(Constant(t),)).A
 
+        if not dep_v and not dep_t:
+            return one(jnp.zeros_like(v_old_data[0]),
+                       float(self._time_interval[0]))[None]
+        times = jnp.asarray(self._times(), sp_p.mesh.dtype)
         return jax.vmap(one)(v_old_data, times)
 
     def _incompressible_blocks(self, Dv_A, B, B_T):

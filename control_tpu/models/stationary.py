@@ -30,8 +30,8 @@ from ..solvers.block import (MultiBlockSystem, DirichletBCNullspace,
                              NoneNullspace)
 from ..utils import io as _io
 from .common import (BlockSolver, mass_solver, zero_rows, picard_operator,
-                     gauss_newton_operator, residual_vector,
-                     bc_lift_function)
+                     gauss_newton_operator, trial_linearized_operator,
+                     residual_vector, bc_lift_function)
 
 
 def _as_bcs_tuple(bcs):
@@ -496,10 +496,6 @@ class Stationary:
             nullspace_1=(nullspace_p, nullspace_p))
 
         if P is None:
-            if self._Gauss_Newton:
-                raise NotImplementedError(
-                    "built-in incompressible preconditioner requires the "
-                    "Picard operator; pass P= for Gauss-Newton")
             inner_system = MultiBlockSystem(
                 space_v, space_v,
                 block_00={(0, 0): M_v}, block_01={(0, 0): D_zeta},
@@ -526,8 +522,16 @@ class Stationary:
             solver_K_p = BlockSolver(K_p, None, ("mg", 1))
             solver_M_p = mass_solver(M_p, None, False, lambda_p_bounds)
 
-            D_p = picard_operator(
-                self._forward_form(p_trial, p_test, v_old))
+            # pressure-space analogue of construct_D_v (reference
+            # control/control.py:979-984): Picard assembles the form on
+            # pressure trial/test; Gauss-Newton linearises its trial slot
+            # with the velocity coefficient held fixed
+            if not self._Gauss_Newton:
+                D_p = picard_operator(
+                    self._forward_form(p_trial, p_test, v_old))
+            else:
+                D_p = trial_linearized_operator(
+                    self._forward_form, space_p, v_old)
             D_mu = D_p.T
             M_p_op = assemble(self._M_p) if self._M_p is not None else M_p
             M_mu_op = (-(1.0 / beta) * assemble(self._M_mu)
