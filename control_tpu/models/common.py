@@ -3,8 +3,10 @@
 building blocks) and Picard / Gauss-Newton operator construction.
 """
 
+import hashlib
 from contextlib import contextmanager
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -33,6 +35,66 @@ from ..solvers.krylov import chebyshev
 def zero_rows(mask, b):
     """bc.apply on a dual vector with homogeneous bcs."""
     return jnp.where(mask, 0.0, b) if mask is not None else b
+
+
+# ---------------------------------------------------------------------------
+# solve-kernel caching
+# ---------------------------------------------------------------------------
+# The reference pays a fresh PETSc setup per linear_solve call but no
+# compilation; here the whole KKT solve is one XLA program, so repeated
+# solves (and every Picard / Gauss-Newton iteration,
+# reference control/control.py:3467-3504) must reuse one compiled
+# executable.  Problem objects keep a cache of jitted end-to-end kernels
+# keyed by the static solve configuration; the linearisation state (the
+# stacked D_v local matrices) and the rhs are *arguments* of the kernel,
+# not captured constants.
+
+def array_token(x):
+    """Hashable fingerprint of an array (or None) for kernel-cache keys."""
+    if x is None:
+        return None
+    a = np.asarray(x)
+    return (a.shape, str(a.dtype),
+            hashlib.blake2b(a.tobytes(), digest_size=16).hexdigest())
+
+
+def params_token(solver_parameters):
+    return tuple(sorted((k, v) for k, v
+                        in (solver_parameters or {}).items()))
+
+
+class KernelCache:
+    """Jitted-kernel cache.  Entries pin the objects their key ids refer to
+    (user preconditioners, spaces) so ids cannot be recycled."""
+
+    def __init__(self):
+        self._entries = {}
+
+    def get(self, key, builder, *, pin=()):
+        entry = self._entries.get(key)
+        if entry is None:
+            entry = (jax.jit(builder()), pin)
+            self._entries[key] = entry
+        return entry[0]
+
+    def __len__(self):
+        return len(self._entries)
+
+
+def run_kernel(fn, *args):
+    """Run a jitted solve kernel with inputs placed on the accelerator and
+    outputs brought back to the host, so surrounding eager setup stays on
+    the host device (see host_setup)."""
+    on_accel = jax.default_backend() != "cpu"
+    if on_accel:
+        dev = jax.devices()[0]
+        args = tuple(jax.device_put(a, dev) for a in args)
+    out = fn(*args)
+    if on_accel:
+        host = jax.devices("cpu")[0]
+        out = jax.tree_util.tree_map(lambda x: jax.device_put(x, host),
+                                     out)
+    return out
 
 
 class BlockSolver:

@@ -211,6 +211,104 @@ class _SweepSolver:
         return u[::-1] if reverse else u
 
 
+class _ParaDiagSweep:
+    """Parallel-in-time Schur substitution via ParaDiag: the block
+    lower-bidiagonal Toeplitz factor (L + cM), whose exact solve is the
+    reference's *sequential* per-block BoomerAMG substitution
+    (reference control/control.py:2051-2189), is replaced by its
+    alpha-circulant approximation
+
+        C_alpha = I (x) F + Sigma_alpha (x) S,
+        (Sigma_alpha)_{j,j-1} = 1, (Sigma_alpha)_{0,n-1} = alpha,
+
+    which a scaled FFT along the time axis diagonalises
+    (McDonald-Pestana-Wathen-style all-at-once preconditioning):
+
+        u = D_a^{-1} IFFT_t[(F + mu_k S)^{-1} FFT_t(D_a b)]_k,
+        mu_k = alpha^{1/n} e^{-2 pi i k / n},  D_a = diag(alpha^{j/n}).
+
+    The n sequential V-cycles of the scan sweep collapse into ONE batched
+    complex multi-V-cycle solve over n//2+1 frequencies (Hermitian
+    symmetry of the real input: rfft/irfft).
+
+    Choice of alpha: the error budget is  O(alpha) circulant truncation
+    + eps_V / alpha, where eps_V is the relative error of the inexact
+    per-frequency solve -- the D_a^{-1} unscaling amplifies frequency-
+    solve errors by up to 1/alpha.  With the default two V-cycles
+    (eps_V ~ 1e-6, still one batched kernel) the optimum sits near
+    alpha = 1e-3, giving a ~1e-3-accurate application -- far more
+    accurate than the block preconditioner it lives in."""
+
+    def __init__(self, space, mask, diag_A, sub_A, n, alpha=None,
+                 cycles=2):
+        if diag_A.shape[0] != 1:
+            raise ValueError("ParaDiag requires a Toeplitz (time-"
+                             "independent) sweep factor")
+        self.space, self.mask = space, mask
+        self.cycles, self.n = cycles, n
+        rdtype = diag_A.dtype
+        if alpha is None:
+            alpha = 1e-3
+        self.alpha = alpha
+        # small coarse level: the dense coarse inverse is built per
+        # FREQUENCY (n//2+1 complex inversions via real 2x2-block LU);
+        # the default 4500-dof coarse level would dominate setup
+        self.config = MGConfig(space, mask, coarse_max_dofs=600)
+        self.trivial = sub_A is None or n == 1
+        if self.trivial:
+            # block-diagonal: one real hierarchy, blocks solved batched
+            self.params = self.config.build(diag_A[0])
+            return
+        cdtype = (jnp.complex64 if rdtype == jnp.dtype(jnp.float32)
+                  else jnp.complex128)
+        n_f = n // 2 + 1
+        k = jnp.arange(n_f)
+        mu = (alpha ** (1.0 / n)
+              * jnp.exp((-2j * jnp.pi / n) * k)).astype(cdtype)
+        F = diag_A[0].astype(cdtype)
+        S = jnp.broadcast_to(sub_A[0], diag_A.shape[1:]).astype(cdtype)
+        A_k = F[None] + mu[:, None, None, None] * S[None]
+        self.params = jax.vmap(self.config.build)(A_k)
+        # time-axis DFT as explicit MXU matmuls (precision HIGHEST), not
+        # jnp.fft: the TPU f32 FFT's rounding error is amplified by the
+        # 1/alpha unscaling and destroys the sweep; a small dense DFT at
+        # highest precision keeps it at ~sqrt(n) * eps.  n_t is at most a
+        # few hundred, so the O(n^2) cost is negligible (and MXU-shaped).
+        j = np.arange(n)
+        Wf = np.exp(-2j * np.pi * np.outer(np.arange(n_f), j) / n)
+        d = np.full(n_f, 2.0)
+        d[0] = 1.0
+        if n % 2 == 0:
+            d[-1] = 1.0
+        Wb = (np.conj(Wf) * d[:, None]).T / n      # (n, n_f)
+        self._Wf = jnp.asarray(Wf, cdtype)
+        self._Wb = jnp.asarray(Wb, cdtype)
+
+    def solve(self, b, reverse=False):
+        n = self.n
+        mk = self.mask[None] if self.mask is not None else None
+        if self.trivial:
+            u = self.config.apply(self.params, zero_rows(mk, b),
+                                  cycles=self.cycles)
+            return u
+        if reverse:
+            b = b[::-1]
+        b = zero_rows(mk, b)
+        j = (jnp.arange(n) / n).astype(b.dtype)
+        scale = (self.alpha ** j).reshape((n,) + (1,) * (b.ndim - 1))
+        g = (b * scale).astype(self._Wf.dtype)
+        ghat = jnp.einsum("kj,j...->k...", self._Wf, g,
+                          precision=jax.lax.Precision.HIGHEST)
+        what = jax.vmap(
+            lambda p, gk: self.config.apply(p, gk, cycles=self.cycles)
+        )(self.params, ghat)
+        u = jnp.real(jnp.einsum("jk,k...->j...", self._Wb, what,
+                                precision=jax.lax.Precision.HIGHEST))
+        u = u.astype(b.dtype) / scale
+        u = zero_rows(mk, u)
+        return u[::-1] if reverse else u
+
+
 class Instationary:
     """See module docstring; API mirrors the reference
     (control/control.py:1489-1493).  Both ``force_f`` (documented name) and
@@ -270,6 +368,8 @@ class Instationary:
             self._mu = MixedFunction(space_p, n_p, name="mu")
 
         self._true_v = None
+        from .common import KernelCache
+        self._kernel_cache = KernelCache()
 
     # ------------------------------------------------------------- plumbing
     @property
@@ -483,12 +583,13 @@ class Instationary:
         return Function(self._space_v, name="v_0")
 
     # ------------------------------------------------------- block building
-    def _blocks(self, Dv_A):
+    def _blocks(self, Dv_A, M=None):
         """Block dicts of the all-at-once KKT operator
         (reference control/control.py:2889-2978)."""
         n_t, tau, beta = self._n_t, self._tau, self._beta
         sp = self._space_v
-        M = assemble(self._M_v)
+        if M is None:
+            M = assemble(self._M_v)
         M_A = M.A                                   # (1|E, b, a)
 
         def D(i):
@@ -546,16 +647,17 @@ class Instationary:
         return block_00, block_01, block_10, block_11, M
 
     # ------------------------------------------------------- preconditioner
-    def _sweep_fn(self, c, n):
+    def _sweep_fn(self, c, n, mode=None):
         """Choose how the Schur block substitutions run.
 
         ``self._schur_mode``: "scan" (sequential, exact -- the reference's
         algorithm), "jacobi" (parallel-in-time truncated block Jacobi,
-        batched V-cycles over all time blocks), or "auto" (jacobi with a
-        step count from the mass-mode decay rho = |c-1|/(c+1) when that
-        converges fast enough, else scan).
+        batched V-cycles over all time blocks), "paradiag"
+        (alpha-circulant FFT diagonalisation, see _ParaDiagSweep), or
+        "auto" (paradiag when the sweep factors are Toeplitz, else scan).
         """
-        mode = getattr(self, "_schur_mode", "scan")
+        if mode is None:
+            mode = getattr(self, "_schur_mode", "scan")
         steps = getattr(self, "_schur_jacobi_steps", None)
         if mode == "auto":
             rho = abs(c - 1.0) / (c + 1.0)
@@ -575,11 +677,35 @@ class Instationary:
                                                               steps=k)
         return lambda solver, b, rev: solver.solve(b, reverse=rev)
 
-    def set_schur_sweep(self, mode, steps=None):
+    def _make_sweeps(self, space, mask, F_diag, F_sub, G_diag, G_sup, c, n):
+        """Build the forward/backward Schur substitution solvers for the
+        selected mode (see _sweep_fn); ParaDiag applies when both factors
+        are Toeplitz (time-independent operator), otherwise falls back to
+        the exact sequential scan."""
+        mode = getattr(self, "_schur_mode", "scan")
+        toeplitz = F_diag.shape[0] == 1 and G_diag.shape[0] == 1
+        if mode in ("auto", "paradiag") and toeplitz and n > 1:
+            alpha = getattr(self, "_paradiag_alpha", None)
+            fwd = _ParaDiagSweep(space, mask, F_diag, F_sub, n,
+                                 alpha=alpha)
+            bwd = _ParaDiagSweep(space, mask, G_diag, G_sup, n,
+                                 alpha=alpha)
+            return fwd, bwd, (lambda solver, b, rev:
+                              solver.solve(b, reverse=rev))
+        if mode in ("paradiag", "auto"):
+            mode = "scan"
+        fwd = _SweepSolver(space, mask, F_diag, F_sub)
+        bwd = _SweepSolver(space, mask, G_diag, G_sup)
+        return fwd, bwd, self._sweep_fn(c, n, mode=mode)
+
+    def set_schur_sweep(self, mode, steps=None, paradiag_alpha=None):
         """Select the Schur substitution strategy ("scan" | "jacobi" |
-        "auto"), optionally fixing the Jacobi step count."""
+        "paradiag" | "auto"), optionally fixing the Jacobi step count or
+        the ParaDiag circulant parameter alpha (default: sqrt(machine
+        eps))."""
         self._schur_mode = mode
         self._schur_jacobi_steps = steps
+        self._paradiag_alpha = paradiag_alpha
 
     def construct_pc(self, Multigrid, lambda_v_bounds, mask, Dv_A, M,
                      epsilon=None):
@@ -619,9 +745,8 @@ class Instationary:
                           * jnp.swapaxes(Dv_A[:n], -1, -2) + M_A + c * M_A)
                 G_sup = (0.5 * tau
                          * jnp.swapaxes(Dv_A[1:n], -1, -2) - M_A + c * M_A)
-            fwd = _SweepSolver(sp, mask, F_diag, F_sub)
-            bwd = _SweepSolver(sp, mask, G_diag, G_sup)
-            sweep = self._sweep_fn(c, n)
+            fwd, bwd, sweep = self._make_sweeps(sp, mask, F_diag, F_sub,
+                                                G_diag, G_sup, c, n)
             ap_diag = _fast_stack_applier(sp, d10_diag)
             ap_sub = _fast_stack_applier(sp, d10_sub)
             ap_M = _fast_stack_applier(sp, M_A[None])
@@ -673,9 +798,8 @@ class Instationary:
             G_diag = (tau * jnp.swapaxes(Dv_A, -1, -2) + M_A
                       + s_b[:, None, None, None] * M_A)
         mM = (-M_A)[None]
-        fwd = _SweepSolver(sp, mask, F_diag, mM)
-        bwd = _SweepSolver(sp, mask, G_diag, mM)
-        sweep = self._sweep_fn(c, n)
+        fwd, bwd, sweep = self._make_sweeps(sp, mask, F_diag, mM,
+                                            G_diag, mM, c, n)
         ap_diag = _fast_stack_applier(sp, d10_diag)
         ap_sub = _fast_stack_applier(sp, mM)
         ap_M = _fast_stack_applier(sp, M_A[None])
@@ -811,7 +935,8 @@ class Instationary:
         _hs.enter_context(host_setup())
         space_v = self._space_v
         n_t, tau, beta = self._n_t, self._tau, self._beta
-        epsilon = None if self._CN else 1.0e-3
+        epsilon = (None if self._CN
+                   else getattr(self, "_be_epsilon", 1.0e-3))
 
         inhom = any(not bc.is_homogeneous
                     for i in self._bcs_v for bc in self._bcs_v[i])
@@ -825,17 +950,11 @@ class Instationary:
 
         v_0 = self._initial_state()
         Dv_A = self._D_stack(self._v.data)
-        block_00, block_01, block_10, block_11, M = self._blocks(Dv_A)
+        M = assemble(self._M_v)
 
         internal_rhs = v_d is None and f is None
         b_0, b_1 = self._build_rhs(v_d, f, v_0, Dv_A, M, mask, inhom,
                                    self._bcs_v)
-
-        if P is None:
-            pc_fn = self.construct_pc(Multigrid, lambda_v_bounds, mask,
-                                      Dv_A, M, epsilon=epsilon)
-        else:
-            pc_fn = P
 
         if solver_parameters is None:
             solver_parameters = {"linear_solver": "gmres",
@@ -845,19 +964,55 @@ class Instationary:
                                  "absolute_tolerance": 0.0,
                                  "monitor_convergence": print_error}
 
-        system = MultiBlockSystem(
-            space_v, space_v,
-            block_00=block_00, block_01=block_01,
-            block_10=block_10, block_11=block_11,
-            n_blocks_00=n_blocks, n_blocks_11=n_blocks,
-            nullspace_0=full_ns, nullspace_1=full_ns, CN=self._CN)
+        # cached end-to-end kernel: block construction, preconditioner
+        # build and the Krylov loop are all traced as a function of the
+        # linearisation state Dv_A, so Picard / Gauss-Newton iterations and
+        # repeated same-shape solves reuse one compiled executable
+        from .common import array_token, params_token, run_kernel
+        from ..solvers.block import finalize_solve_info
+        key = ("linear", self._n_t, self._CN, self._beta,
+               self._time_interval, Multigrid,
+               None if lambda_v_bounds is None else tuple(lambda_v_bounds),
+               array_token(mask), params_token(solver_parameters),
+               getattr(self, "_schur_mode", "scan"),
+               getattr(self, "_schur_jacobi_steps", None),
+               getattr(self, "_paradiag_alpha", None),
+               getattr(self, "_be_epsilon", 1.0e-3),
+               None if P is None else id(P), id(space_v))
 
-        v = MixedFunction(space_v, n_blocks, name="v")
-        zeta = MixedFunction(space_v, n_blocks, name="zeta")
+        def builder():
+            sp_params = dict(solver_parameters)
+
+            def core(Dv_A, b_0, b_1, u_0, u_1):
+                M_t = LocalOp(M.A, space_v, space_v)
+                b00, b01, b10, b11, _ = self._blocks(Dv_A, M=M_t)
+                pc_fn = (self.construct_pc(Multigrid, lambda_v_bounds,
+                                           mask, Dv_A, M_t,
+                                           epsilon=epsilon)
+                         if P is None else P)
+                system = MultiBlockSystem(
+                    space_v, space_v,
+                    block_00=b00, block_01=b01,
+                    block_10=b10, block_11=b11,
+                    n_blocks_00=n_blocks, n_blocks_11=n_blocks,
+                    nullspace_0=full_ns, nullspace_1=full_ns,
+                    CN=self._CN)
+                solve = system.solve_fn(solver_parameters=sp_params,
+                                        pc_fn=pc_fn)
+                return solve(u_0, u_1, b_0, b_1)
+
+            return core
+
+        kernel = self._kernel_cache.get(key, builder,
+                                        pin=(P, space_v, M))
         _hs.close()
-        info = system.solve(v, zeta, b_0, b_1,
-                            solver_parameters=solver_parameters,
-                            pc_fn=pc_fn)
+        # zero initial guesses as ARGUMENTS: in-trace zero constants make
+        # XLA constant-fold whole operator applications at compile time
+        z_0, z_1 = jnp.zeros_like(b_0), jnp.zeros_like(b_1)
+        u0, u1, info_d = run_kernel(kernel, Dv_A, b_0, b_1, z_0, z_1)
+        info = finalize_solve_info(info_d, solver_parameters)
+        v = MixedFunction(space_v, n_blocks, name="v", data=u0)
+        zeta = MixedFunction(space_v, n_blocks, name="zeta", data=u1)
         self.last_solve_info = info
 
         if self._CN:
@@ -1070,12 +1225,13 @@ class Instationary:
         times = jnp.asarray(self._times(), sp_p.mesh.dtype)
         return jax.vmap(one)(v_old_data, times)
 
-    def _incompressible_blocks(self, Dv_A, B, B_T):
+    def _incompressible_blocks(self, Dv_A, B, B_T, M=None):
         """The 2n x 2n velocity-KKT + divergence block dicts
         (reference control/control.py:3750-3957)."""
         n_t, tau, beta = self._n_t, self._tau, self._beta
         sp = self._space_v
-        M = assemble(self._M_v)
+        if M is None:
+            M = assemble(self._M_v)
         M_A = M.A
         sh = Dv_A.shape[0] == 1
 
@@ -1227,7 +1383,8 @@ class Instationary:
             self.set_space_p(space_p)
 
         n_t, tau, beta = self._n_t, self._tau, self._beta
-        epsilon = None if self._CN else 1.0e-3
+        epsilon = (None if self._CN
+                   else getattr(self, "_be_epsilon", 1.0e-3))
         n = n_t if not self._CN else n_t - 1
 
         inhom = any(not bc.is_homogeneous
@@ -1248,8 +1405,7 @@ class Instationary:
         B = assemble(-inner(div(v_trial), p_test) * dx)
         B_T = assemble(-inner(p_trial, div(v_test)) * dx)
 
-        block_00, block_01, block_10, block_11, M = \
-            self._incompressible_blocks(Dv_A, B, B_T)
+        M = assemble(self._M_v)
 
         # rhs: velocity part reuses the compressible construction
         b_0_0, b_0_1 = self._build_rhs(v_d, f, v_0, Dv_A, M, mask, inhom,
@@ -1274,71 +1430,6 @@ class Instationary:
         b_0 = jnp.concatenate([b_0_0, b_0_1])
         b_1 = jnp.concatenate([b_1_0, b_1_1])
 
-        system = MultiBlockSystem(
-            space_v, space_p,
-            block_00=block_00, block_01=block_01,
-            block_10=block_10, block_11=block_11,
-            n_blocks_00=2 * n, n_blocks_11=2 * n,
-            sub_n_blocks_00_0=(n if self._CN else None),
-            sub_n_blocks_11_0=(n if self._CN else None),
-            nullspace_0=full_ns_0, nullspace_1=full_ns_1, CN=self._CN)
-
-        if P is None:
-            # inner velocity-KKT system (compressible blocks)
-            i00, i01, i10, i11, _ = self._blocks(Dv_A)
-            inner_system = MultiBlockSystem(
-                space_v, space_v,
-                block_00=i00, block_01=i01, block_10=i10, block_11=i11,
-                n_blocks_00=n, n_blocks_11=n,
-                nullspace_0=tuple(nullspace_v for _ in range(n)),
-                nullspace_1=tuple(nullspace_v for _ in range(n)),
-                CN=self._CN)
-            inner_pc = self.construct_pc(Multigrid, lambda_v_bounds, mask,
-                                         Dv_A, M, epsilon=epsilon)
-            inner_solve = inner_system.solve_fn(
-                solver_parameters={"preconditioner": True,
-                                   "linear_solver": "gmres",
-                                   "maximum_iterations": 5,
-                                   "relative_tolerance": 0.0,
-                                   "absolute_tolerance": 0.0,
-                                   "gmres_restart": 30},
-                pc_fn=inner_pc)
-
-            K_p = assemble(inner(grad(p_trial), grad(p_test)) * dx)
-            solver_K_p = BlockSolver(K_p, None, ("mg", 1))
-            Dp_A = self._D_p_stack(self._v.data)
-            p00, p01, p10, p11, M_p = self._p_kkt_dicts(Dp_A)
-            solver_M_p = mass_solver(M_p, None, False, lambda_p_bounds)
-            act_00 = BlockAction(p00, n, n, space_p, space_p)
-            act_01 = BlockAction(p01, n, n, space_p, space_p)
-            act_10 = BlockAction(p10, n, n, space_p, space_p)
-            act_11 = BlockAction(p11, n, n, space_p, space_p)
-
-            def pc_fn(b_0, b_1):
-                z = jnp.zeros((n,) + space_v.grid_shape, dtype)
-                u0v, u0z, _ = inner_solve(z, z, b_0[:n], b_0[n:])
-                u_0 = jnp.concatenate([u0v, u0z])
-                # pressure Schur with 1/tau^2 scaling and T sandwiches
-                b0h = tau * B.apply(u0v)
-                b1h = tau * B.apply(u0z)
-                if self._CN:
-                    b0h = apply_T_2(b0h)
-                    b1h = apply_T_1(b1h)
-                b0h = (b0h - b_1[:n]) / tau ** 2
-                b1h = (b1h - b_1[n:]) / tau ** 2
-                if self._CN:
-                    b0h = apply_T_2_inv(b0h)
-                    b1h = apply_T_1_inv(b1h)
-                u10 = solver_K_p(b0h)
-                u11 = solver_K_p(b1h)
-                c0 = act_00.apply(u10) + act_01.apply(u11)
-                c1 = act_10.apply(u10) + act_11.apply(u11)
-                u10 = solver_M_p(c0)
-                u11 = solver_M_p(c1)
-                return u_0, jnp.concatenate([u10, u11])
-        else:
-            pc_fn = P
-
         if solver_parameters is None:
             solver_parameters = {"linear_solver": "fgmres",
                                  "fgmres_restart": 10,
@@ -1347,12 +1438,132 @@ class Instationary:
                                  "absolute_tolerance": 0.0,
                                  "monitor_convergence": print_error}
 
-        u_0_sol = MixedFunction(space_v, 2 * n)
-        u_1_sol = MixedFunction(space_p, 2 * n)
+        Dp_A = self._D_p_stack(self._v.data) if P is None else None
+
+        from .common import array_token, params_token, run_kernel
+        from ..solvers.block import finalize_solve_info
+        key = ("incompressible", self._n_t, self._CN, self._beta,
+               self._time_interval, Multigrid,
+               None if lambda_v_bounds is None else tuple(lambda_v_bounds),
+               None if lambda_p_bounds is None else tuple(lambda_p_bounds),
+               array_token(mask), params_token(solver_parameters),
+               getattr(self, "_schur_mode", "scan"),
+               getattr(self, "_schur_jacobi_steps", None),
+               getattr(self, "_paradiag_alpha", None),
+               getattr(self, "_be_epsilon", 1.0e-3),
+               getattr(self, "_inner_pc_iterations",
+                       5 if self._CN else 15),
+               None if P is None else id(P), id(nullspace_p),
+               id(space_v), id(space_p))
+
+        def builder():
+            sp_params = dict(solver_parameters)
+
+            def core(Dv_A, Dp_A, b_0, b_1, u_0i, u_1i):
+                M_t = LocalOp(M.A, space_v, space_v)
+                b00, b01, b10, b11, _ = self._incompressible_blocks(
+                    Dv_A, B, B_T, M=M_t)
+                system = MultiBlockSystem(
+                    space_v, space_p,
+                    block_00=b00, block_01=b01,
+                    block_10=b10, block_11=b11,
+                    n_blocks_00=2 * n, n_blocks_11=2 * n,
+                    sub_n_blocks_00_0=(n if self._CN else None),
+                    sub_n_blocks_11_0=(n if self._CN else None),
+                    nullspace_0=full_ns_0, nullspace_1=full_ns_1,
+                    CN=self._CN)
+
+                if P is not None:
+                    pc_fn = P
+                else:
+                    # inner velocity-KKT system (compressible blocks)
+                    i00, i01, i10, i11, _ = self._blocks(Dv_A, M=M_t)
+                    inner_system = MultiBlockSystem(
+                        space_v, space_v,
+                        block_00=i00, block_01=i01, block_10=i10,
+                        block_11=i11,
+                        n_blocks_00=n, n_blocks_11=n,
+                        nullspace_0=tuple(nullspace_v for _ in range(n)),
+                        nullspace_1=tuple(nullspace_v for _ in range(n)),
+                        CN=self._CN)
+                    inner_pc = self.construct_pc(
+                        Multigrid, lambda_v_bounds, mask, Dv_A, M_t,
+                        epsilon=epsilon)
+                    # the reference fixes 5 inner iterations
+                    # (control/control.py:4355-4361); for BE that leaves
+                    # the eps-regularised final-block error modes
+                    # unresolved and the outer FGMRES stagnates (the
+                    # reference's own BE recipe has this defect -- its
+                    # upstream BE test is unrunnable).  15 iterations
+                    # restore CN-level outer convergence; measured sharp
+                    # threshold at ~15 on the Stokes exact-solution
+                    # configuration.
+                    inner_default = 5 if self._CN else 15
+                    inner_its = getattr(self, "_inner_pc_iterations",
+                                        inner_default)
+                    inner_solve = inner_system.solve_fn(
+                        solver_parameters={"preconditioner": True,
+                                           "linear_solver": "gmres",
+                                           "maximum_iterations": inner_its,
+                                           "relative_tolerance": 0.0,
+                                           "absolute_tolerance": 0.0,
+                                           "gmres_restart": 30},
+                        pc_fn=inner_pc)
+
+                    K_p = assemble(inner(grad(p_trial),
+                                         grad(p_test)) * dx)
+                    solver_K_p = BlockSolver(K_p, None, ("mg", 1))
+                    p00, p01, p10, p11, M_p = self._p_kkt_dicts(Dp_A)
+                    solver_M_p = mass_solver(M_p, None, False,
+                                             lambda_p_bounds)
+                    act_00 = BlockAction(p00, n, n, space_p, space_p)
+                    act_01 = BlockAction(p01, n, n, space_p, space_p)
+                    act_10 = BlockAction(p10, n, n, space_p, space_p)
+                    act_11 = BlockAction(p11, n, n, space_p, space_p)
+
+                    def pc_fn(b_0, b_1):
+                        z = jnp.zeros((n,) + space_v.grid_shape, dtype)
+                        u0v, u0z, _ = inner_solve(z, z, b_0[:n], b_0[n:])
+                        u_0 = jnp.concatenate([u0v, u0z])
+                        # pressure Schur: 1/tau^2 scaling + T sandwiches
+                        b0h = tau * B.apply(u0v)
+                        b1h = tau * B.apply(u0z)
+                        if self._CN:
+                            b0h = apply_T_2(b0h)
+                            b1h = apply_T_1(b1h)
+                        b0h = (b0h - b_1[:n]) / tau ** 2
+                        b1h = (b1h - b_1[n:]) / tau ** 2
+                        if self._CN:
+                            b0h = apply_T_2_inv(b0h)
+                            b1h = apply_T_1_inv(b1h)
+                        u10 = solver_K_p(b0h)
+                        u11 = solver_K_p(b1h)
+                        c0 = act_00.apply(u10) + act_01.apply(u11)
+                        c1 = act_10.apply(u10) + act_11.apply(u11)
+                        u10 = solver_M_p(c0)
+                        u11 = solver_M_p(c1)
+                        return u_0, jnp.concatenate([u10, u11])
+
+                solve = system.solve_fn(solver_parameters=sp_params,
+                                        pc_fn=pc_fn)
+                return solve(u_0i, u_1i, b_0, b_1)
+
+            if P is not None:
+                # no pressure-operator argument when a user pc is supplied
+                return lambda Dv_A, b_0, b_1, u_0i, u_1i: core(
+                    Dv_A, None, b_0, b_1, u_0i, u_1i)
+            return core
+
+        kernel = self._kernel_cache.get(
+            key, builder, pin=(P, nullspace_p, space_v, space_p, M, B, B_T))
         _hs.close()
-        info = system.solve(u_0_sol, u_1_sol, b_0, b_1,
-                            solver_parameters=solver_parameters,
-                            pc_fn=pc_fn)
+        z_0, z_1 = jnp.zeros_like(b_0), jnp.zeros_like(b_1)
+        if P is None:
+            u0, u1, info_d = run_kernel(kernel, Dv_A, Dp_A, b_0, b_1,
+                                        z_0, z_1)
+        else:
+            u0, u1, info_d = run_kernel(kernel, Dv_A, b_0, b_1, z_0, z_1)
+        info = finalize_solve_info(info_d, solver_parameters)
         self.last_solve_info = info
 
         internal_rhs = v_d is None and f is None
@@ -1363,13 +1574,13 @@ class Instationary:
         if self._CN:
             if internal_rhs:
                 v.sub(0).assign(v_0)
-            v.data = v.data.at[1:].set(u_0_sol.data[:n])
-            zeta.data = zeta.data.at[:-1].set(u_0_sol.data[n:])
+            v.data = v.data.at[1:].set(u0[:n])
+            zeta.data = zeta.data.at[:-1].set(u0[n:])
         else:
-            v.data = u_0_sol.data[:n]
-            zeta.data = u_0_sol.data[n:]
-        mu.data = u_1_sol.data[:n]
-        p.data = u_1_sol.data[n:]
+            v.data = u0[:n]
+            zeta.data = u0[n:]
+        mu.data = u1[:n]
+        p.data = u1[n:]
 
         self.set_v(v)
         self.set_zeta(zeta)

@@ -94,6 +94,8 @@ class Stationary:
             self._M_mu = None
 
         self._true_v = None
+        from .common import KernelCache
+        self._kernel_cache = KernelCache()
 
     # ---------------------------------------------------------------- setters
     def set_space_v(self, space_v, *, v=None, zeta=None, bcs_v_new=False,
@@ -273,23 +275,6 @@ class Stationary:
         if v_d is None:
             v_d = self.construct_v_d(M_v, inhom, v_inhom, mask)
 
-        if P is None:
-            pc_fn1 = self.construct_pc(Multigrid, lambda_v_bounds,
-                                       mask, mask, D_v, D_zeta, M_v)
-
-            def pc_fn(b0, b1):
-                u0, u1 = pc_fn1(b0[0], b1[0])
-                return u0[None], u1[None]
-        else:
-            pc_fn = P
-
-        system = MultiBlockSystem(
-            space_v, space_v,
-            block_00={(0, 0): M_v}, block_01={(0, 0): D_zeta},
-            block_10={(0, 0): D_v},
-            block_11={(0, 0): -(1.0 / beta) * assemble(self._M_zeta)},
-            nullspace_0=(nullspace_v,), nullspace_1=(nullspace_zeta,))
-
         if solver_parameters is None:
             solver_parameters = {"linear_solver": "gmres",
                                  "gmres_restart": 10,
@@ -298,12 +283,60 @@ class Stationary:
                                  "absolute_tolerance": 0.0,
                                  "monitor_convergence": print_error}
 
-        v = Function(space_v, name="v")
-        zeta = Function(space_v, name="zeta")
+        # cached end-to-end kernel (see instationary.linear_solve): the
+        # linearisation state D_v and the rhs are kernel arguments, so
+        # Picard / Gauss-Newton iterations reuse one compiled executable
+        from .common import array_token, params_token, run_kernel
+        from ..solvers.block import finalize_solve_info
+        M_zeta = assemble(self._M_zeta)
+        key = ("linear", self._beta, Multigrid,
+               None if lambda_v_bounds is None else tuple(lambda_v_bounds),
+               array_token(mask), params_token(solver_parameters),
+               None if P is None else id(P), id(space_v))
+
+        def builder():
+            sp_params = dict(solver_parameters)
+
+            def core(Dv_A, b_0, b_1, u_0, u_1):
+                D_v_t = LocalOp(Dv_A, space_v, space_v)
+                D_zeta_t = D_v_t.T
+                M_v_t = LocalOp(M_v.A, space_v, space_v)
+                if P is not None:
+                    pc_fn = P
+                else:
+                    pc_fn1 = self.construct_pc(
+                        Multigrid, lambda_v_bounds, mask, mask,
+                        D_v_t, D_zeta_t, M_v_t)
+
+                    def pc_fn(b0, b1):
+                        u0, u1 = pc_fn1(b0[0], b1[0])
+                        return u0[None], u1[None]
+
+                system = MultiBlockSystem(
+                    space_v, space_v,
+                    block_00={(0, 0): M_v_t},
+                    block_01={(0, 0): D_zeta_t},
+                    block_10={(0, 0): D_v_t},
+                    block_11={(0, 0): -(1.0 / beta)
+                              * LocalOp(M_zeta.A, space_v, space_v)},
+                    nullspace_0=(nullspace_v,),
+                    nullspace_1=(nullspace_zeta,))
+                solve = system.solve_fn(solver_parameters=sp_params,
+                                        pc_fn=pc_fn)
+                return solve(u_0, u_1, b_0, b_1)
+
+            return core
+
+        kernel = self._kernel_cache.get(key, builder,
+                                        pin=(P, space_v, M_v, M_zeta))
         _hs.close()
-        info = system.solve(v, zeta, v_d, f,
-                            solver_parameters=solver_parameters,
-                            pc_fn=pc_fn)
+        b0s, b1s = v_d.data[None], f.data[None]
+        u0, u1, info_d = run_kernel(kernel, D_v.A, b0s, b1s,
+                                    jnp.zeros_like(b0s),
+                                    jnp.zeros_like(b1s))
+        info = finalize_solve_info(info_d, solver_parameters)
+        v = Function(space_v, name="v", data=u0[0])
+        zeta = Function(space_v, name="zeta", data=u1[0])
         self.last_solve_info = info
 
         if inhom:
@@ -484,77 +517,6 @@ class Stationary:
         b_0 = jnp.stack([v_d.data, f.data])
         b_1 = jnp.stack([div_v.data, div_zeta.data])
 
-        system = MultiBlockSystem(
-            space_v, space_p,
-            block_00={(0, 0): M_v, (0, 1): D_zeta,
-                      (1, 0): D_v, (1, 1): M_zeta_op},
-            block_01={(0, 0): B_T, (1, 1): B_T},
-            block_10={(0, 0): B, (1, 1): B},
-            block_11={},
-            n_blocks_00=2, n_blocks_11=2,
-            nullspace_0=(nullspace_v, nullspace_zeta),
-            nullspace_1=(nullspace_p, nullspace_p))
-
-        if P is None:
-            inner_system = MultiBlockSystem(
-                space_v, space_v,
-                block_00={(0, 0): M_v}, block_01={(0, 0): D_zeta},
-                block_10={(0, 0): D_v}, block_11={(0, 0): M_zeta_op},
-                nullspace_0=(nullspace_v,), nullspace_1=(nullspace_zeta,))
-            inner_pc1 = self.construct_pc(Multigrid, lambda_v_bounds,
-                                          mask, mask, D_v, D_zeta, M_v)
-
-            def inner_pc(b0, b1):
-                u0, u1 = inner_pc1(b0[0], b1[0])
-                return u0[None], u1[None]
-
-            inner_solve = inner_system.solve_fn(
-                solver_parameters={"preconditioner": True,
-                                   "linear_solver": "gmres",
-                                   "maximum_iterations": 5,
-                                   "relative_tolerance": 0.0,
-                                   "absolute_tolerance": 0.0,
-                                   "gmres_restart": 30},
-                pc_fn=inner_pc)
-
-            K_p = assemble(inner(grad(p_trial), grad(p_test)) * dx)
-            M_p = assemble(inner(p_trial, p_test) * dx)
-            solver_K_p = BlockSolver(K_p, None, ("mg", 1))
-            solver_M_p = mass_solver(M_p, None, False, lambda_p_bounds)
-
-            # pressure-space analogue of construct_D_v (reference
-            # control/control.py:979-984): Picard assembles the form on
-            # pressure trial/test; Gauss-Newton linearises its trial slot
-            # with the velocity coefficient held fixed
-            if not self._Gauss_Newton:
-                D_p = picard_operator(
-                    self._forward_form(p_trial, p_test, v_old))
-            else:
-                D_p = trial_linearized_operator(
-                    self._forward_form, space_p, v_old)
-            D_mu = D_p.T
-            M_p_op = assemble(self._M_p) if self._M_p is not None else M_p
-            M_mu_op = (-(1.0 / beta) * assemble(self._M_mu)
-                       if self._M_mu is not None else -(1.0 / beta) * M_p)
-
-            def pc_fn(b_0, b_1):
-                z = jnp.zeros_like(b_0[0])
-                u0v, u0z, _ = inner_solve(z[None], z[None],
-                                          b_0[0][None], b_0[1][None])
-                v_help, zeta_help = u0v[0], u0z[0]
-                u_0 = jnp.stack([v_help, zeta_help])
-                b0h = B.apply(v_help) - b_1[0]
-                b1h = B.apply(zeta_help) - b_1[1]
-                u10 = solver_K_p(b0h)
-                u11 = solver_K_p(b1h)
-                c0 = M_p_op.apply(u10) + D_mu.apply(u11)
-                c1 = D_p.apply(u10) + M_mu_op.apply(u11)
-                u10 = solver_M_p(c0)
-                u11 = solver_M_p(c1)
-                return u_0, jnp.stack([u10, u11])
-        else:
-            pc_fn = P
-
         if solver_parameters is None:
             solver_parameters = {"linear_solver": "fgmres",
                                  "fgmres_restart": 10,
@@ -563,21 +525,135 @@ class Stationary:
                                  "absolute_tolerance": 0.0,
                                  "monitor_convergence": print_error}
 
-        from ..fem.space import MixedFunction
-        u_0_sol = MixedFunction(space_v, 2)
-        u_1_sol = MixedFunction(space_p, 2)
+        # pressure-space analogue of construct_D_v (reference
+        # control/control.py:979-984): Picard assembles the form on
+        # pressure trial/test; Gauss-Newton linearises its trial slot with
+        # the velocity coefficient held fixed
+        if P is not None:
+            D_p = None
+        elif not self._Gauss_Newton:
+            D_p = picard_operator(
+                self._forward_form(p_trial, p_test, v_old))
+        else:
+            D_p = trial_linearized_operator(
+                self._forward_form, space_p, v_old)
+
+        from .common import array_token, params_token, run_kernel
+        from ..solvers.block import finalize_solve_info
+        key = ("incompressible", self._beta, Multigrid,
+               None if lambda_v_bounds is None else tuple(lambda_v_bounds),
+               None if lambda_p_bounds is None else tuple(lambda_p_bounds),
+               array_token(mask), params_token(solver_parameters),
+               None if P is None else id(P), id(nullspace_p),
+               id(space_v), id(space_p))
+
+        K_p = assemble(inner(grad(p_trial), grad(p_test)) * dx)
+        M_p = assemble(inner(p_trial, p_test) * dx)
+        M_p_op = assemble(self._M_p) if self._M_p is not None else M_p
+        M_mu_base = (assemble(self._M_mu) if self._M_mu is not None
+                     else M_p)
+
+        def builder():
+            sp_params = dict(solver_parameters)
+
+            def core(Dv_A, Dp_A, b_0, b_1, u_0i, u_1i):
+                D_v_t = LocalOp(Dv_A, space_v, space_v)
+                D_zeta_t = D_v_t.T
+                M_v_t = LocalOp(M_v.A, space_v, space_v)
+                M_zeta_t = -(1.0 / beta) * LocalOp(M_zeta_op_A,
+                                                   space_v, space_v)
+                system = MultiBlockSystem(
+                    space_v, space_p,
+                    block_00={(0, 0): M_v_t, (0, 1): D_zeta_t,
+                              (1, 0): D_v_t, (1, 1): M_zeta_t},
+                    block_01={(0, 0): B_T, (1, 1): B_T},
+                    block_10={(0, 0): B, (1, 1): B},
+                    block_11={},
+                    n_blocks_00=2, n_blocks_11=2,
+                    nullspace_0=(nullspace_v, nullspace_zeta),
+                    nullspace_1=(nullspace_p, nullspace_p))
+
+                if P is not None:
+                    pc_fn = P
+                else:
+                    inner_system = MultiBlockSystem(
+                        space_v, space_v,
+                        block_00={(0, 0): M_v_t},
+                        block_01={(0, 0): D_zeta_t},
+                        block_10={(0, 0): D_v_t},
+                        block_11={(0, 0): M_zeta_t},
+                        nullspace_0=(nullspace_v,),
+                        nullspace_1=(nullspace_zeta,))
+                    inner_pc1 = self.construct_pc(
+                        Multigrid, lambda_v_bounds, mask, mask,
+                        D_v_t, D_zeta_t, M_v_t)
+
+                    def inner_pc(b0, b1):
+                        u0, u1 = inner_pc1(b0[0], b1[0])
+                        return u0[None], u1[None]
+
+                    inner_solve = inner_system.solve_fn(
+                        solver_parameters={"preconditioner": True,
+                                           "linear_solver": "gmres",
+                                           "maximum_iterations": 5,
+                                           "relative_tolerance": 0.0,
+                                           "absolute_tolerance": 0.0,
+                                           "gmres_restart": 30},
+                        pc_fn=inner_pc)
+
+                    solver_K_p = BlockSolver(K_p, None, ("mg", 1))
+                    solver_M_p = mass_solver(M_p, None, False,
+                                             lambda_p_bounds)
+                    D_p_t = LocalOp(Dp_A, space_p, space_p)
+                    D_mu_t = D_p_t.T
+                    M_mu_op = -(1.0 / beta) * M_mu_base
+
+                    def pc_fn(b_0, b_1):
+                        z = jnp.zeros_like(b_0[0])
+                        u0v, u0z, _ = inner_solve(z[None], z[None],
+                                                  b_0[0][None],
+                                                  b_0[1][None])
+                        v_help, zeta_help = u0v[0], u0z[0]
+                        u_0 = jnp.stack([v_help, zeta_help])
+                        b0h = B.apply(v_help) - b_1[0]
+                        b1h = B.apply(zeta_help) - b_1[1]
+                        u10 = solver_K_p(b0h)
+                        u11 = solver_K_p(b1h)
+                        c0 = M_p_op.apply(u10) + D_mu_t.apply(u11)
+                        c1 = D_p_t.apply(u10) + M_mu_op.apply(u11)
+                        u10 = solver_M_p(c0)
+                        u11 = solver_M_p(c1)
+                        return u_0, jnp.stack([u10, u11])
+
+                solve = system.solve_fn(solver_parameters=sp_params,
+                                        pc_fn=pc_fn)
+                return solve(u_0i, u_1i, b_0, b_1)
+
+            if P is not None:
+                return lambda Dv_A, b_0, b_1, u_0i, u_1i: core(
+                    Dv_A, None, b_0, b_1, u_0i, u_1i)
+            return core
+
+        M_zeta_op_A = assemble(self._M_zeta).A
+        kernel = self._kernel_cache.get(
+            key, builder,
+            pin=(P, nullspace_p, space_v, space_p, M_v, B, B_T, K_p, M_p))
         _hs.close()
-        info = system.solve(u_0_sol, u_1_sol, b_0, b_1,
-                            solver_parameters=solver_parameters,
-                            pc_fn=pc_fn)
+        z_0, z_1 = jnp.zeros_like(b_0), jnp.zeros_like(b_1)
+        if P is None:
+            u0, u1, info_d = run_kernel(kernel, D_v.A, D_p.A, b_0, b_1,
+                                        z_0, z_1)
+        else:
+            u0, u1, info_d = run_kernel(kernel, D_v.A, b_0, b_1, z_0, z_1)
+        info = finalize_solve_info(info_d, solver_parameters)
         self.last_solve_info = info
 
         v = Function(space_v, name="v")
         zeta = Function(space_v, name="zeta")
         p = Function(space_p, name="p")
         mu = Function(space_p, name="mu")
-        v.data, zeta.data = u_0_sol.data[0], u_0_sol.data[1]
-        mu.data, p.data = u_1_sol.data[0], u_1_sol.data[1]
+        v.data, zeta.data = u0[0], u0[1]
+        mu.data, p.data = u1[0], u1[1]
 
         if inhom:
             v.data = v.data + v_inhom.data

@@ -544,13 +544,23 @@ class MultiBlockSystem:
             info = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, host), info)
 
-        info = SolveInfo(info["iterations"], info["res_norms"],
-                         info["converged"], info["rnorm0"], info["rnorm"])
-        if sp.get("monitor_convergence", True):
-            info.monitor_print()
-        if not sp.get("preconditioner", False) and not info.converged:
-            raise RuntimeError("Solver failed to converge")
+        info = finalize_solve_info(info, sp)
 
         self._write_back(u_0, u0, self.n0)
         self._write_back(u_1, u1, self.n1)
         return info
+
+
+def finalize_solve_info(info_dict, solver_parameters):
+    """Convert a traced info dict to a SolveInfo, print the KSP monitor and
+    raise on non-convergence unless running as an inner preconditioner
+    (reference preconditioner/preconditioner.py:749-770)."""
+    sp = solver_parameters or {}
+    info = SolveInfo(info_dict["iterations"], info_dict["res_norms"],
+                     info_dict["converged"], info_dict["rnorm0"],
+                     info_dict["rnorm"])
+    if sp.get("monitor_convergence", True):
+        info.monitor_print()
+    if not sp.get("preconditioner", False) and not info.converged:
+        raise RuntimeError("Solver failed to converge")
+    return info
