@@ -127,6 +127,12 @@ def _build(dtype_name):
         space, forw_diff_operator, desired_state=desired_state,
         force_f=force_f, beta=1e-4, n_t=N_T, time_interval=(0.0, 2.0),
         CN=True, bcs_v=bc_t)
+    # TPU measurement uses the ParaDiag (alpha-circulant FFT) Schur sweeps;
+    # the CPU proxy keeps the reference's sequential substitution algorithm
+    # (that IS the baseline being compared against)
+    ctl.set_schur_sweep(os.environ.get(
+        "BENCH_SCHUR",
+        "scan" if "--cpu-proxy" in sys.argv else "paradiag"))
 
     bcs = homogenize(ctl._bcs_v[1])
     mask = combine_masks(space, bcs)
@@ -293,9 +299,9 @@ def _build_extra(config):
 
 
 def run_extra(config):
-    """Secondary configs report a single solve through the high-level API
-    (currently re-jits per call -- see TODO.md on solve caching), so the
-    time INCLUDES compilation; iterations/convergence are the signal."""
+    """Secondary configs run through the high-level API twice: the first
+    call pays compilation, the second hits the problem-layer solve-kernel
+    cache -- its time is the amortized per-solve cost users see."""
     import jax
     t0 = time.time()
     try:
@@ -305,13 +311,17 @@ def run_extra(config):
             with jax.default_device(jax.devices("cpu")[0]):
                 run = _build_extra(config)
         info = run()
-        out = {"metric": f"{config}_kkt_solve_incl_compile",
-               "value": round(time.time() - t0, 2), "unit": "s",
+        first_s = time.time() - t0
+        t1 = time.time()
+        info = run()
+        out = {"metric": f"{config}_kkt_solve",
+               "value": round(time.time() - t1, 3), "unit": "s",
                "vs_baseline": 0.0, "iterations": info.iterations,
                "converged": info.converged,
+               "first_call_seconds": round(first_s, 2),
                "backend": jax.default_backend()}
     except Exception as e:  # pragma: no cover
-        out = {"metric": f"{config}_kkt_solve_incl_compile", "value": -1.0,
+        out = {"metric": f"{config}_kkt_solve", "value": -1.0,
                "unit": "s", "vs_baseline": 0.0,
                "error": f"{type(e).__name__}: {e}"[:200]}
     print(json.dumps(out))

@@ -152,6 +152,7 @@ def apply_stencil(w, x, degree, use_pallas=None):
         except Exception:
             platform = jax.default_backend()             # tracer
         use_pallas = (platform == "tpu"
+                      and not jnp.iscomplexobj(x)        # Mosaic: real only
                       and _vmem_ok(degree, x.shape[-2], x.shape[-1], x.dtype))
     if not use_pallas:
         return _apply_xla(w, x, degree)
@@ -185,7 +186,8 @@ def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
             platform = next(iter(b.devices())).platform
         except Exception:
             platform = jax.default_backend()
-        use_pallas = platform == "tpu" and _vmem_ok(degree, ny, nx, b.dtype)
+        use_pallas = (platform == "tpu" and not jnp.iscomplexobj(b)
+                      and _vmem_ok(degree, ny, nx, b.dtype))
 
     sigma1 = theta / delta
 

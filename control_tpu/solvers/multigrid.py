@@ -136,6 +136,16 @@ class Transfer:
         xb = xb.reshape((-1, 1) + gs[:2])
         return xb, batch, space.dim
 
+    @staticmethod
+    def _conv(xb, k, **kwargs):
+        """Real-kernel convolution, complex-safe (XLA TPU convolutions are
+        real-only; the ParaDiag frequency operators are complex)."""
+        if jnp.iscomplexobj(xb):
+            re = jax.lax.conv_general_dilated(jnp.real(xb), k, **kwargs)
+            im = jax.lax.conv_general_dilated(jnp.imag(xb), k, **kwargs)
+            return re + 1j * im
+        return jax.lax.conv_general_dilated(xb, k, **kwargs)
+
     def prolong(self, xc):
         if self.fine.degree != 1:
             # higher-degree interpolation kernels are node-class dependent;
@@ -145,7 +155,7 @@ class Transfer:
         xb, batch, dim = self._conv_shape(xc, sp)
         L = self._L
         k = self._kappa[None, None]
-        out = jax.lax.conv_general_dilated(
+        out = self._conv(
             xb, k, window_strides=(1, 1),
             padding=((L, L), (L, L)), lhs_dilation=(2, 2),
             precision=jax.lax.Precision.HIGHEST)
@@ -163,7 +173,7 @@ class Transfer:
         rb, batch, dim = self._conv_shape(rf, sp)
         L = self._L
         k = self._kappa[None, None]
-        out = jax.lax.conv_general_dilated(
+        out = self._conv(
             rb, k, window_strides=(2, 2),
             padding=((L, L), (L, L)),
             precision=jax.lax.Precision.HIGHEST)
@@ -218,6 +228,19 @@ class Transfer:
 # ---------------------------------------------------------------------------
 # multigrid solver
 # ---------------------------------------------------------------------------
+
+def _dense_inv(Ad):
+    """Dense inverse; complex matrices (the ParaDiag frequency-space
+    operators) invert via the equivalent real 2x2 block system, which
+    lowers to real LU everywhere (TPU has no complex LU)."""
+    if not jnp.iscomplexobj(Ad):
+        return jnp.linalg.inv(Ad)
+    Ar, Ai = jnp.real(Ad), jnp.imag(Ad)
+    B = jnp.block([[Ar, -Ai], [Ai, Ar]])
+    Binv = jnp.linalg.inv(B)
+    m = Ad.shape[-1]
+    return Binv[..., :m, :m] + 1j * Binv[..., m:, :m]
+
 
 def _gershgorin_lambda_max(op, diag):
     """Guaranteed upper bound on the spectrum of D^{-1} A via Gershgorin row
@@ -336,7 +359,7 @@ class MGConfig:
         # MXU matmul (triangular lu_solve is latency-bound on TPU and sits
         # inside the sequential Schur-sweep scans)
         Ad = ops[-1].to_dense()
-        params["Ainv"] = jnp.linalg.inv(Ad)
+        params["Ainv"] = _dense_inv(Ad)
         params["diags"] = diags
         params["lams"] = jnp.stack(lams)
         return params

@@ -62,16 +62,18 @@ def test_instationary_stokes_with_exact_sol(CN):
     """Manufactured algebraic space-time Stokes-KKT solution: rhs built by
     hand from M/K/B actions, solved to rtol 1e-14, checked to ~1e-12.
 
-    Note: the reference's BE pressure-Schur recipe preconditions the BE
-    saddle system poorly (its own test for it is unrunnable upstream --
-    see SURVEY.md section 4); the BE case here therefore runs a small
-    configuration with a full-memory Krylov space, which converges
-    regardless of pc quality and verifies operator + solution extraction.
-    """
+    Both time discretizations run the built-in nested preconditioner at
+    the reference's restart/budget (restart 10, <= 100 outer iterations).
+    The BE variant relies on the deeper (15-iteration) inner velocity-KKT
+    solve: the reference's fixed 5 inner iterations leave the
+    eps-regularised final-block error modes unresolved and its BE recipe
+    stagnates (its own upstream BE test is unrunnable; measured here:
+    outer residual stuck at ~0.97 with 5 inner iterations, CN-level
+    convergence with 15)."""
     if CN:
         n_t, beta, mesh_n, restart = 4, 1e-2, 4, 10
     else:
-        n_t, beta, mesh_n, restart = 3, 1e-2, 2, 400
+        n_t, beta, mesh_n, restart = 3, 1e-2, 2, 10
     ctl, mesh, space_v, space_p = _stokes_problem(n_t, CN, beta=beta,
                                                   mesh_n=mesh_n)
     X = SpatialCoordinate(mesh)
@@ -150,7 +152,7 @@ def test_instationary_stokes_with_exact_sol(CN):
 
     solver_parameters = {"linear_solver": "fgmres",
                          "gmres_restart": restart,
-                         "maximum_iterations": 1000 if CN else 400,
+                         "maximum_iterations": 100,
                          "relative_tolerance": 1.0e-14,
                          "absolute_tolerance": 1.0e-14,
                          "monitor_convergence": False}
@@ -169,17 +171,16 @@ def test_instationary_stokes_with_exact_sol(CN):
     else:
         v_sol = ctl._v.data
         z_sol = ctl._zeta.data
-    tol = 1e-12 if CN else 1e-10
-    assert _mixed_l2(space_v, v_sol, u_ref.data) < tol
-    assert _mixed_l2(space_v, z_sol, w_ref.data) < tol
+    assert _mixed_l2(space_v, v_sol, u_ref.data) < 1e-12
+    assert _mixed_l2(space_v, z_sol, w_ref.data) < 1e-12
 
     def mean_shift(stack):
         return stack - jnp.mean(stack, axis=(1, 2), keepdims=True)
 
     assert _mixed_l2(space_p, mean_shift(ctl._p.data),
-                     mean_shift(p_ref.data)) < (1e-11 if CN else 1e-9)
+                     mean_shift(p_ref.data)) < 1e-11
     assert _mixed_l2(space_p, mean_shift(ctl._mu.data),
-                     mean_shift(mu_ref.data)) < (1e-11 if CN else 1e-9)
+                     mean_shift(mu_ref.data)) < 1e-11
 
 
 def test_instationary_navier_stokes_picard():
