@@ -116,9 +116,8 @@ class BlockSolver:
             self.config = MGConfig(inner.trial_space, mask)
             self.params = self.config.build(inner.A)
         else:
-            if op.trial_space.dim is None:
-                from ..ops.stencil import StencilOp
-                self.op = StencilOp.from_local(self.op)
+            from ..ops.stencil import StencilOp
+            self.op = StencilOp.from_local(self.op)
             d = self.op.diag()
             self.diag = jnp.where(d == 0, 1.0, d)
 

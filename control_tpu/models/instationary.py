@@ -65,14 +65,14 @@ def _stack_apply(space_trial, space_test, A, x):
 
 
 def _fast_stack_applier(space, A):
-    """Batched stacked-operator application; node-stencil fast path on
-    scalar spaces (one fused kernel per apply on TPU)."""
-    if space.dim is None:
-        from ..ops.stencil import node_stencil, apply_stencil
-        w = node_stencil(A, space)
-        d = space.degree
-        return lambda x: apply_stencil(w, x, d)
-    return lambda x: _stack_apply(space, space, A, x)
+    """Batched stacked-operator application via the node-stencil fast path
+    (one fused kernel per apply on TPU for scalar spaces; fused
+    shift/multiply-adds with dim x dim coupling blocks for vector
+    spaces)."""
+    from ..ops.stencil import node_stencil, apply_stencil
+    w = node_stencil(A, space)
+    d = space.degree
+    return lambda x: apply_stencil(w, x, d)
 
 
 class _SweepSolver:
@@ -94,14 +94,12 @@ class _SweepSolver:
             self.params = self.config.build(diag_A[0])
         else:
             self.params = jax.vmap(self.config.build)(diag_A)
-        self.stencil_sub = space.dim is None
+        self.stencil_sub = True
         if sub_A is None:
             self.sub = None
-        elif self.stencil_sub:
-            from ..ops.stencil import node_stencil
-            self.sub = node_stencil(sub_A, space)   # (m|1, K, ny, nx)
         else:
-            self.sub = sub_A                        # (m|1, E|1, b, a)
+            from ..ops.stencil import node_stencil
+            self.sub = node_stencil(sub_A, space)   # (m|1, K, ny, nx[, D, D])
 
     def _sub_apply(self, S_i, u):
         if self.stencil_sub:

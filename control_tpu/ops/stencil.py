@@ -27,15 +27,18 @@ def stencil_offsets(degree):
 
 def node_stencil(A, space, mask=None, alpha=1.0):
     """Fold local matrices ``A`` (*batch, E|1, b, a) into node-stencil
-    weights (*batch, K, ny, nx).
+    weights: (*batch, K, ny, nx) on scalar spaces, or
+    (*batch, K, ny, nx, dim, dim) on vector spaces (a dim x dim
+    component-coupling block per offset per node; dof layout is
+    node-major/component-minor, see local_op._global_indices).
 
-    ``mask`` (optional boolean grid) applies symmetric Dirichlet
-    elimination: masked rows become alpha*identity, masked columns are
-    dropped.
+    ``mask`` (optional boolean grid, trailing dim axis on vector spaces)
+    applies symmetric Dirichlet elimination: masked rows become
+    alpha*identity, masked columns are dropped.
     """
     d = space.degree
     if space.dim is not None:
-        raise NotImplementedError("node stencils for scalar spaces only")
+        return _node_stencil_vector(A, space, mask, alpha)
     m = space.mesh
     K = (2 * d + 1) ** 2
     batch = A.shape[:-3]
@@ -75,13 +78,81 @@ def node_stencil(A, space, mask=None, alpha=1.0):
     return w
 
 
+def _node_stencil_vector(A, space, mask=None, alpha=1.0):
+    d = space.degree
+    dim = space.dim
+    m = space.mesh
+    K = (2 * d + 1) ** 2
+    batch = A.shape[:-3]
+    dtype = A.dtype
+    nl = d + 1
+    nloc = nl * nl
+    Af = jnp.broadcast_to(A, batch + (m.n_cells,) + A.shape[-2:])
+    # (..., ny_c, nx_c, node_b, dim_b, node_a, dim_a)
+    Af = Af.reshape(batch + (m.ny, m.nx, nloc, dim, nloc, dim))
+
+    w = jnp.zeros(batch + (K, space.nodes_y, space.nodes_x, dim, dim),
+                  dtype)
+    for b in range(nloc):
+        by, bx = divmod(b, nl)
+        sy = slice(by, by + d * (m.ny - 1) + 1, d)
+        sx = slice(bx, bx + d * (m.nx - 1) + 1, d)
+        for a in range(nloc):
+            ay, ax = divmod(a, nl)
+            k = (d + ay - by) * (2 * d + 1) + (d + ax - bx)
+            w = w.at[..., k, sy, sx, :, :].add(Af[..., b, :, a, :])
+    if mask is not None:
+        mk = jnp.asarray(mask)                   # (ny, nx, dim)
+        # zero masked rows (per node/component)
+        w = jnp.where(mk[None, :, :, :, None], 0.0, w)
+        # zero masked columns
+        ny, nx = space.nodes_y, space.nodes_x
+        for k, (dy, dx) in enumerate(stencil_offsets(d)):
+            src = jnp.zeros_like(mk)
+            ys = slice(max(0, -dy), ny - max(0, dy))
+            yd = slice(max(0, dy), ny - max(0, -dy))
+            xs = slice(max(0, -dx), nx - max(0, dx))
+            xd = slice(max(0, dx), nx - max(0, -dx))
+            src = src.at[ys, xs, :].set(mk[yd, xd, :])
+            w = w.at[..., k, :, :, :, :].set(
+                jnp.where(src[:, :, None, :], 0.0,
+                          w[..., k, :, :, :, :]))
+        # alpha * identity on masked rows
+        kc = K // 2
+        eye = jnp.eye(dim, dtype=dtype)
+        w = w.at[..., kc, :, :, :, :].set(
+            jnp.where(mk[:, :, :, None],
+                      alpha * eye[None, None],
+                      w[..., kc, :, :, :, :]))
+    return w
+
+
 # ---------------------------------------------------------------------------
 # application
 # ---------------------------------------------------------------------------
 
+def _is_vector_stencil(w, x):
+    """Vector stencils carry a trailing (dim, dim) coupling block: their
+    weights are (*batch, K, ny, nx, dim, dim), at least 5-D (scalar
+    weights are at most (batch, K, ny, nx))."""
+    return w.ndim >= 5
+
+
 def _apply_xla(w, x, degree):
     """Shifted multiply-add path (portable)."""
     d = degree
+    if _is_vector_stencil(w, x):
+        # x: (..., ny, nx, dim); w: (..., K, ny, nx, dim, dim)
+        ny, nx = x.shape[-3:-1]
+        pad = [(0, 0)] * (x.ndim - 3) + [(d, d), (d, d), (0, 0)]
+        xp = jnp.pad(x, pad)
+        out = None
+        for k, (dy, dx) in enumerate(stencil_offsets(d)):
+            sl = xp[..., d + dy: d + dy + ny, d + dx: d + dx + nx, :]
+            term = jnp.einsum("...rc,...c->...r", w[..., k, :, :, :, :],
+                              sl)
+            out = term if out is None else out + term
+        return out
     ny, nx = x.shape[-2:]
     pad = [(0, 0)] * (x.ndim - 2) + [(d, d), (d, d)]
     xp = jnp.pad(x, pad)
@@ -146,6 +217,8 @@ def apply_stencil(w, x, degree, use_pallas=None):
     batch dims broadcast (shared weights across a time batch are fine).
     """
     d = degree
+    if _is_vector_stencil(w, x):
+        return _apply_xla(w, x, degree)
     if use_pallas is None:
         try:
             platform = next(iter(x.devices())).platform  # concrete array
@@ -180,6 +253,8 @@ def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
     theta/delta: scalars (traced ok).  Returns x (and r = b - A x).
     """
     d = degree
+    if _is_vector_stencil(w, b):
+        use_pallas = False
     ny, nx = b.shape[-2:]
     if use_pallas is None:
         try:
@@ -284,10 +359,29 @@ def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
     return (x_out, r_out) if want_residual else x_out
 
 
-class StencilOp:
-    """Matrix-free operator in node-stencil form (scalar spaces).
+def stencil_diag(w, vector):
+    """Assembled diagonal from stencil weights: (..., ny, nx[, dim])."""
+    if vector:
+        K = w.shape[-5]
+        c = w[..., K // 2, :, :, :, :]
+        return jnp.diagonal(c, axis1=-2, axis2=-1)
+    K = w.shape[-3]
+    return w[..., K // 2, :, :]
 
-    Equivalent to (Masked)LocalOp.apply but a single fused kernel on TPU.
+
+def stencil_abs_rowsum(w, vector):
+    """Row sums of |weights| (Gershgorin): (..., ny, nx[, dim])."""
+    if vector:
+        return jnp.sum(jnp.abs(w), axis=(-5, -1))
+    return jnp.sum(jnp.abs(w), axis=-3)
+
+
+class StencilOp:
+    """Matrix-free operator in node-stencil form: a single fused kernel on
+    TPU for scalar spaces, fused shift/multiply-adds with dim x dim
+    coupling blocks for vector spaces.
+
+    Equivalent to (Masked)LocalOp.apply.
     """
 
     def __init__(self, space, w, degree=None):
@@ -306,18 +400,13 @@ class StencilOp:
         return cls(op.trial_space, w)
 
     def apply(self, x):
-        w = self.w
-        if x.ndim == 2 + (0 if w.ndim == 3 else 1):
-            return apply_stencil(w, x, self.degree)
-        # batched x with shared weights
-        return apply_stencil(w, x, self.degree)
+        return apply_stencil(self.w, x, self.degree)
 
     def __call__(self, x):
         return self.apply(x)
 
     def diag(self):
-        K = (2 * self.degree + 1) ** 2
-        return self.w[..., K // 2, :, :]
+        return stencil_diag(self.w, self.space.dim is not None)
 
     def abs_rowsum(self):
-        return jnp.sum(jnp.abs(self.w), axis=-3)
+        return stencil_abs_rowsum(self.w, self.space.dim is not None)

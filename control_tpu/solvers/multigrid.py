@@ -313,7 +313,7 @@ class MGConfig:
 
     @property
     def use_stencil(self):
-        return self.spaces[0].dim is None
+        return True
 
     def _appliers(self, params):
         """Per-level apply callables (stencil fast path on scalar spaces)."""
@@ -333,17 +333,18 @@ class MGConfig:
         ops = self._ops(As)
         params = {"As": As}
         if self.use_stencil:
-            from ..ops.stencil import node_stencil
+            from ..ops.stencil import (node_stencil, stencil_diag,
+                                       stencil_abs_rowsum)
+            vec = self.spaces[0].dim is not None
             Ws, diags, dinvs, lams = [], [], [], []
             for A_l, sp_l, mk in zip(As, self.spaces, self.masks):
                 w = node_stencil(A_l, sp_l, mask=mk)
                 Ws.append(w)
-                K = w.shape[-3]
-                d = w[..., K // 2, :, :]
+                d = stencil_diag(w, vec)
                 d = jnp.where(d == 0, 1.0, d)
                 diags.append(d)
                 dinvs.append(1.0 / d)
-                lams.append(jnp.max(jnp.sum(jnp.abs(w), axis=-3)
+                lams.append(jnp.max(stencil_abs_rowsum(w, vec)
                                     / jnp.abs(d)))
             params = {"Ws": Ws, "diags": diags, "dinvs": dinvs,
                       "lams": jnp.stack(lams)}

@@ -183,9 +183,11 @@ def test_instationary_stokes_with_exact_sol(CN):
                      mean_shift(mu_ref.data)) < 1e-11
 
 
-def test_instationary_navier_stokes_picard():
-    """Navier-Stokes control (reference test/test_control.py:4171-4268
-    smoke family): Picard loop on the advective nonlinearity converges."""
+@pytest.mark.parametrize("CN", [True, False])
+def test_instationary_navier_stokes_picard(CN):
+    """Navier-Stokes control (reference test/test_control.py:4171-4268 BE
+    / :4271-4370 CN smoke family): Picard loop on the advective
+    nonlinearity converges."""
     mesh = UnitSquareMesh(4, 4, quadrilateral=True)
     space_v = VectorFunctionSpace(mesh, "Lagrange", 2)
     space_p = FunctionSpace(mesh, "Lagrange", 1)
@@ -211,7 +213,7 @@ def test_instationary_navier_stokes_picard():
     ctl = Control.Instationary(
         space_v, forw_diff_operator, desired_state=desired_state,
         force_f=force_f, beta=1.0, space_p=space_p,
-        time_interval=(0.0, 1.0), CN=True, n_t=4, bcs_v=bc_t)
+        time_interval=(0.0, 1.0), CN=CN, n_t=4, bcs_v=bc_t)
     ctl.incompressible_non_linear_solve(
         ConstantNullspace(),
         lambda_v_bounds=(0.25, 1.5625), lambda_p_bounds=(0.25, 2.25),
@@ -239,10 +241,11 @@ def test_instationary_navier_stokes_picard():
     tau = ctl._tau
     B = assemble(-inner(div(tr), pte) * dx)
     B_T = assemble(-inner(TrialFunction(space_p), div(te)) * dx)
+    n = 4 - 1 if CN else 4
     r0 = jnp.where(mask[None], 0.0, r0 - tau * B_T.apply(ctl._mu.data))
     r1 = jnp.where(mask[None], 0.0, r1 - tau * B_T.apply(ctl._p.data))
-    r2 = -B.apply(ctl._v.data[1:])
-    r3 = -B.apply(ctl._zeta.data[:-1])
+    r2 = -B.apply(ctl._v.data[1:] if CN else ctl._v.data)
+    r3 = -B.apply(ctl._zeta.data[:n])
     nrm = float(jnp.sqrt(jnp.vdot(r0, r0) + jnp.vdot(r1, r1)
                          + jnp.vdot(r2, r2) + jnp.vdot(r3, r3)))
     assert nrm < 1e-6, nrm
