@@ -330,18 +330,9 @@ def run_extra(config):
 def main():
     cfg = os.environ.get("BENCH_CONFIG")
     if cfg and "--cpu-proxy" not in sys.argv:
-        import jax as _jax
-        if cfg == "stokes" and _jax.default_backend() != "cpu":
-            # the instationary Stokes compile reproducibly crashes this
-            # environment's remote TPU compiler (worker restart); the
-            # configuration is exercised on CPU by
-            # tests/test_instationary_stokes.py
-            print(json.dumps({"metric": "stokes_kkt_solve_incl_compile",
-                              "value": -1.0, "unit": "s",
-                              "vs_baseline": 0.0,
-                              "skipped": "TPU remote-compiler crash; "
-                                         "run on CPU or see tests"}))
-            return
+        # (round 1 guarded BENCH_CONFIG=stokes off on TPU -- the vector
+        # gather/scatter V-cycle crashed the remote TPU compiler; the
+        # vector-space node-stencil path replaced it)
         run_extra(cfg)
         return
     if "--cpu-proxy" in sys.argv:

@@ -675,21 +675,32 @@ class Instationary:
                                                               steps=k)
         return lambda solver, b, rev: solver.solve(b, reverse=rev)
 
-    def _make_sweeps(self, space, mask, F_diag, F_sub, G_diag, G_sup, c, n):
+    def _make_sweeps(self, space, mask, F_diag, F_sub, G_diag, G_sup, c, n,
+                     toeplitz_factors=None):
         """Build the forward/backward Schur substitution solvers for the
         selected mode (see _sweep_fn); ParaDiag applies when both factors
-        are Toeplitz (time-independent operator), otherwise falls back to
-        the exact sequential scan."""
+        are Toeplitz (time-independent operator) -- either directly, or
+        via ``toeplitz_factors=(F_toep, G_toep)``, a caller-supplied
+        Toeplitz approximation of row-dependent factors (the BE sweeps
+        deviate only in their first/last diagonal shifts) -- otherwise it
+        falls back to the exact sequential scan."""
         mode = getattr(self, "_schur_mode", "scan")
         toeplitz = F_diag.shape[0] == 1 and G_diag.shape[0] == 1
-        if mode in ("auto", "paradiag") and toeplitz and n > 1:
+        if mode in ("auto", "paradiag") and n > 1:
             alpha = getattr(self, "_paradiag_alpha", None)
-            fwd = _ParaDiagSweep(space, mask, F_diag, F_sub, n,
-                                 alpha=alpha)
-            bwd = _ParaDiagSweep(space, mask, G_diag, G_sup, n,
-                                 alpha=alpha)
-            return fwd, bwd, (lambda solver, b, rev:
-                              solver.solve(b, reverse=rev))
+            if toeplitz:
+                F_t, G_t = F_diag, G_diag
+            elif toeplitz_factors is not None:
+                F_t, G_t = toeplitz_factors
+            else:
+                F_t = G_t = None
+            if F_t is not None:
+                fwd = _ParaDiagSweep(space, mask, F_t, F_sub, n,
+                                     alpha=alpha)
+                bwd = _ParaDiagSweep(space, mask, G_t, G_sup, n,
+                                     alpha=alpha)
+                return fwd, bwd, (lambda solver, b, rev:
+                                  solver.solve(b, reverse=rev))
         if mode in ("paradiag", "auto"):
             mode = "scan"
         fwd = _SweepSolver(space, mask, F_diag, F_sub)
@@ -796,6 +807,10 @@ class Instationary:
             G_diag = (tau * jnp.swapaxes(Dv_A, -1, -2) + M_A
                       + s_b[:, None, None, None] * M_A)
         mM = (-M_A)[None]
+        # NOTE: a uniform-shift Toeplitz approximation of the BE factors
+        # (for ParaDiag) was measured to double the outer iterations and
+        # diverge at small beta -- the zero first-row shift matters; BE
+        # therefore always uses the exact row-dependent scan
         fwd, bwd, sweep = self._make_sweeps(sp, mask, F_diag, mM,
                                             G_diag, mM, c, n)
         ap_diag = _fast_stack_applier(sp, d10_diag)

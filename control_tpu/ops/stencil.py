@@ -204,6 +204,11 @@ def _pallas_kernel(degree, ny, nx, n_w, dtype):
     return call
 
 
+def _pallas_enabled():
+    import os
+    return os.environ.get("CONTROL_TPU_NO_PALLAS", "0") != "1"
+
+
 def _vmem_ok(degree, ny, nx, dtype):
     K = (2 * degree + 1) ** 2
     bytes_needed = (K + 3) * ny * nx * jnp.dtype(dtype).itemsize
@@ -224,7 +229,7 @@ def apply_stencil(w, x, degree, use_pallas=None):
             platform = next(iter(x.devices())).platform  # concrete array
         except Exception:
             platform = jax.default_backend()             # tracer
-        use_pallas = (platform == "tpu"
+        use_pallas = (platform == "tpu" and _pallas_enabled()
                       and not jnp.iscomplexobj(x)        # Mosaic: real only
                       and _vmem_ok(degree, x.shape[-2], x.shape[-1], x.dtype))
     if not use_pallas:
@@ -261,23 +266,31 @@ def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
             platform = next(iter(b.devices())).platform
         except Exception:
             platform = jax.default_backend()
-        use_pallas = (platform == "tpu" and not jnp.iscomplexobj(b)
+        use_pallas = (platform == "tpu" and _pallas_enabled()
+                      and not jnp.iscomplexobj(b)
                       and _vmem_ok(degree, ny, nx, b.dtype))
 
     sigma1 = theta / delta
 
     if not use_pallas:
+        from jax import lax as _lax
         x = x0
         r = b - apply_stencil(w, x, d, use_pallas=False)
         p = (r * dinv) / theta
         x = x + p
-        rho = 1.0 / sigma1
-        for _ in range(steps - 1):
+        rho0 = jnp.asarray(1.0 / sigma1, x.dtype)
+
+        # rolled loop: keeps the traced graph O(1) in the step count (the
+        # unrolled variant dominates XLA compile time for the nested
+        # incompressible programs)
+        def body(_, carry):
+            x, p, rho = carry
             r = b - apply_stencil(w, x, d, use_pallas=False)
             rho_new = 1.0 / (2.0 * sigma1 - rho)
             p = rho_new * rho * p + (2.0 * rho_new / delta) * (r * dinv)
-            x = x + p
-            rho = rho_new
+            return (x + p, p, rho_new)
+
+        x, p, _ = _lax.fori_loop(0, steps - 1, body, (x, p, rho0))
         if want_residual:
             r = b - apply_stencil(w, x, d, use_pallas=False)
             return x, r

@@ -80,6 +80,15 @@ class Nullspace:
     preconditioner inside the Krylov solve.  All methods are pure functions
     on a single block's grid array."""
 
+    def apply_stacked(self, method, x, *extra):
+        """Apply a (composite) method over a leading block axis.  The
+        generic fallback loops; subclasses whose operations broadcast (or
+        can be written per-block) override it so the traced graph stays
+        O(1) in the number of time blocks."""
+        outs = [getattr(self, method)(x[i], *[e[i] for e in extra])
+                for i in range(x.shape[0])]
+        return jnp.stack(outs)
+
     def transform_right(self, x):
         raise NotImplementedError
 
@@ -117,6 +126,9 @@ class Nullspace:
 
 
 class NoneNullspace(Nullspace):
+    def apply_stacked(self, method, x, *extra):
+        return getattr(self, method)(x, *extra)
+
     def transform_right(self, x):
         return x
 
@@ -141,6 +153,21 @@ class ConstantNullspace(Nullspace):
     def _mean(x):
         return jnp.sum(x) / x.size
 
+    def apply_stacked(self, method, x, *extra):
+        """Batched application with per-block means."""
+        def m(v):
+            return jnp.mean(v, axis=tuple(range(1, v.ndim)),
+                            keepdims=True)
+        if method in ("transform_right", "transform_left", "correct_soln",
+                      "correct_rhs", "pre_mult_corrected_lhs",
+                      "pc_pre_mult_corrected"):
+            return x - m(x)
+        if method == "post_mult_correct_lhs":
+            return (x - m(x)) + self._alpha * m(extra[0])
+        if method == "pc_post_mult_correct":
+            return (x - m(x)) + m(extra[0])
+        raise ValueError(f"unknown nullspace method {method!r}")
+
     def transform_right(self, x):
         return x - self._mean(x)
 
@@ -157,6 +184,11 @@ class ConstantNullspace(Nullspace):
 class DirichletBCNullspace(Nullspace):
     """Zero bc rows/cols, re-adding alpha*x on the boundary so the operator
     stays nonsingular (reference preconditioner/preconditioner.py:158-197)."""
+
+    def apply_stacked(self, method, x, *extra):
+        # all operations are elementwise in the grid; the mask broadcasts
+        # over the leading block axis
+        return getattr(self, method)(x, *extra)
 
     def __init__(self, bcs, *, alpha=1.0):
         if isinstance(bcs, DirichletBC):
@@ -186,6 +218,9 @@ class DirichletBCNullspace(Nullspace):
 
 
 class FullNullspace(Nullspace):
+    def apply_stacked(self, method, x, *extra):
+        return getattr(self, method)(x, *extra)
+
     def transform_right(self, x):
         return jnp.zeros_like(x)
 
@@ -199,10 +234,16 @@ class FullNullspace(Nullspace):
 
 
 def _apply_per_block(nullspaces, method, x, *extra):
-    """Apply a nullspace method per leading-axis block (vectorized when all
-    nullspaces are the same trivial/None instance)."""
+    """Apply a nullspace method per leading-axis block, vectorized when
+    all blocks share one nullspace instance (the overwhelmingly common
+    case: keeps the traced graph O(1) in n_t instead of unrolling
+    per-block where-chains, which blows up XLA compile time on large
+    space-time systems)."""
     if all(isinstance(ns, NoneNullspace) for ns in nullspaces):
         return x
+    ns0 = nullspaces[0]
+    if all(ns is ns0 for ns in nullspaces):
+        return ns0.apply_stacked(method, x, *extra)
     outs = []
     for i, ns in enumerate(nullspaces):
         outs.append(getattr(ns, method)(x[i], *[e[i] for e in extra]))
