@@ -1469,114 +1469,135 @@ class Instationary:
                None if P is None else id(P), id(nullspace_p),
                id(space_v), id(space_p))
 
-        def builder():
-            sp_params = dict(solver_parameters)
-
-            def core(Dv_A, Dp_A, b_0, b_1, u_0i, u_1i):
-                M_t = LocalOp(M.A, space_v, space_v)
-                b00, b01, b10, b11, _ = self._incompressible_blocks(
-                    Dv_A, B, B_T, M=M_t)
-                system = MultiBlockSystem(
-                    space_v, space_p,
-                    block_00=b00, block_01=b01,
-                    block_10=b10, block_11=b11,
-                    n_blocks_00=2 * n, n_blocks_11=2 * n,
-                    sub_n_blocks_00_0=(n if self._CN else None),
-                    sub_n_blocks_11_0=(n if self._CN else None),
-                    nullspace_0=full_ns_0, nullspace_1=full_ns_1,
-                    CN=self._CN)
-
-                if P is not None:
-                    pc_fn = P
-                else:
-                    # inner velocity-KKT system (compressible blocks)
-                    i00, i01, i10, i11, _ = self._blocks(Dv_A, M=M_t)
-                    inner_system = MultiBlockSystem(
-                        space_v, space_v,
-                        block_00=i00, block_01=i01, block_10=i10,
-                        block_11=i11,
-                        n_blocks_00=n, n_blocks_11=n,
-                        nullspace_0=tuple(nullspace_v for _ in range(n)),
-                        nullspace_1=tuple(nullspace_v for _ in range(n)),
-                        CN=self._CN)
-                    inner_pc = self.construct_pc(
-                        Multigrid, lambda_v_bounds, mask, Dv_A, M_t,
-                        epsilon=epsilon)
-                    # the reference fixes 5 inner iterations
-                    # (control/control.py:4355-4361); for BE that leaves
-                    # the eps-regularised final-block error modes
-                    # unresolved and the outer FGMRES stagnates (the
-                    # reference's own BE recipe has this defect -- its
-                    # upstream BE test is unrunnable).  15 iterations
-                    # restore CN-level outer convergence; measured sharp
-                    # threshold at ~15 on the Stokes exact-solution
-                    # configuration.
-                    inner_default = 5 if self._CN else 15
-                    inner_its = getattr(self, "_inner_pc_iterations",
-                                        inner_default)
-                    inner_solve = inner_system.solve_fn(
-                        solver_parameters={"preconditioner": True,
-                                           "linear_solver": "gmres",
-                                           "maximum_iterations": inner_its,
-                                           "relative_tolerance": 0.0,
-                                           "absolute_tolerance": 0.0,
-                                           "gmres_restart": 30},
-                        pc_fn=inner_pc)
-
-                    K_p = assemble(inner(grad(p_trial),
-                                         grad(p_test)) * dx)
-                    solver_K_p = BlockSolver(K_p, None, ("mg", 1))
-                    p00, p01, p10, p11, M_p = self._p_kkt_dicts(Dp_A)
-                    solver_M_p = mass_solver(M_p, None, False,
-                                             lambda_p_bounds)
-                    act_00 = BlockAction(p00, n, n, space_p, space_p)
-                    act_01 = BlockAction(p01, n, n, space_p, space_p)
-                    act_10 = BlockAction(p10, n, n, space_p, space_p)
-                    act_11 = BlockAction(p11, n, n, space_p, space_p)
-
-                    def pc_fn(b_0, b_1):
-                        z = jnp.zeros((n,) + space_v.grid_shape, dtype)
-                        u0v, u0z, _ = inner_solve(z, z, b_0[:n], b_0[n:])
-                        u_0 = jnp.concatenate([u0v, u0z])
-                        # pressure Schur: 1/tau^2 scaling + T sandwiches
-                        b0h = tau * B.apply(u0v)
-                        b1h = tau * B.apply(u0z)
-                        if self._CN:
-                            b0h = apply_T_2(b0h)
-                            b1h = apply_T_1(b1h)
-                        b0h = (b0h - b_1[:n]) / tau ** 2
-                        b1h = (b1h - b_1[n:]) / tau ** 2
-                        if self._CN:
-                            b0h = apply_T_2_inv(b0h)
-                            b1h = apply_T_1_inv(b1h)
-                        u10 = solver_K_p(b0h)
-                        u11 = solver_K_p(b1h)
-                        c0 = act_00.apply(u10) + act_01.apply(u11)
-                        c1 = act_10.apply(u10) + act_11.apply(u11)
-                        u10 = solver_M_p(c0)
-                        u11 = solver_M_p(c1)
-                        return u_0, jnp.concatenate([u10, u11])
-
-                solve = system.solve_fn(solver_parameters=sp_params,
-                                        pc_fn=pc_fn)
-                return solve(u_0i, u_1i, b_0, b_1)
+        def make_pieces(Dv_A, Dp_A, M_t):
+            b00, b01, b10, b11, _ = self._incompressible_blocks(
+                Dv_A, B, B_T, M=M_t)
+            system = MultiBlockSystem(
+                space_v, space_p,
+                block_00=b00, block_01=b01,
+                block_10=b10, block_11=b11,
+                n_blocks_00=2 * n, n_blocks_11=2 * n,
+                sub_n_blocks_00_0=(n if self._CN else None),
+                sub_n_blocks_11_0=(n if self._CN else None),
+                nullspace_0=full_ns_0, nullspace_1=full_ns_1,
+                CN=self._CN)
 
             if P is not None:
-                # no pressure-operator argument when a user pc is supplied
-                return lambda Dv_A, b_0, b_1, u_0i, u_1i: core(
-                    Dv_A, None, b_0, b_1, u_0i, u_1i)
-            return core
+                return system, P
+            # inner velocity-KKT system (compressible blocks)
+            i00, i01, i10, i11, _ = self._blocks(Dv_A, M=M_t)
+            inner_system = MultiBlockSystem(
+                space_v, space_v,
+                block_00=i00, block_01=i01, block_10=i10,
+                block_11=i11,
+                n_blocks_00=n, n_blocks_11=n,
+                nullspace_0=tuple(nullspace_v for _ in range(n)),
+                nullspace_1=tuple(nullspace_v for _ in range(n)),
+                CN=self._CN)
+            inner_pc = self.construct_pc(
+                Multigrid, lambda_v_bounds, mask, Dv_A, M_t,
+                epsilon=epsilon)
+            # the reference fixes 5 inner iterations
+            # (control/control.py:4355-4361); for BE that leaves the
+            # eps-regularised final-block error modes unresolved and the
+            # outer FGMRES stagnates (the reference's own BE recipe has
+            # this defect -- its upstream BE test is unrunnable).  15
+            # iterations restore CN-level outer convergence; measured
+            # sharp threshold at ~15 on the Stokes exact-solution
+            # configuration.
+            inner_default = 5 if self._CN else 15
+            inner_its = getattr(self, "_inner_pc_iterations",
+                                inner_default)
+            inner_solve = inner_system.solve_fn(
+                solver_parameters={"preconditioner": True,
+                                   "linear_solver": "gmres",
+                                   "maximum_iterations": inner_its,
+                                   "relative_tolerance": 0.0,
+                                   "absolute_tolerance": 0.0,
+                                   "gmres_restart": 30},
+                pc_fn=inner_pc)
 
-        kernel = self._kernel_cache.get(
-            key, builder, pin=(P, nullspace_p, space_v, space_p, M, B, B_T))
-        _hs.close()
-        z_0, z_1 = jnp.zeros_like(b_0), jnp.zeros_like(b_1)
-        if P is None:
-            u0, u1, info_d = run_kernel(kernel, Dv_A, Dp_A, b_0, b_1,
-                                        z_0, z_1)
+            K_p = assemble(inner(grad(p_trial), grad(p_test)) * dx)
+            solver_K_p = BlockSolver(K_p, None, ("mg", 1))
+            p00, p01, p10, p11, M_p = self._p_kkt_dicts(Dp_A)
+            solver_M_p = mass_solver(M_p, None, False, lambda_p_bounds)
+            act_00 = BlockAction(p00, n, n, space_p, space_p)
+            act_01 = BlockAction(p01, n, n, space_p, space_p)
+            act_10 = BlockAction(p10, n, n, space_p, space_p)
+            act_11 = BlockAction(p11, n, n, space_p, space_p)
+
+            def pc_fn(b_0, b_1):
+                z = jnp.zeros((n,) + space_v.grid_shape, dtype)
+                u0v, u0z, _ = inner_solve(z, z, b_0[:n], b_0[n:])
+                u_0 = jnp.concatenate([u0v, u0z])
+                # pressure Schur: 1/tau^2 scaling + T sandwiches
+                b0h = tau * B.apply(u0v)
+                b1h = tau * B.apply(u0z)
+                if self._CN:
+                    b0h = apply_T_2(b0h)
+                    b1h = apply_T_1(b1h)
+                b0h = (b0h - b_1[:n]) / tau ** 2
+                b1h = (b1h - b_1[n:]) / tau ** 2
+                if self._CN:
+                    b0h = apply_T_2_inv(b0h)
+                    b1h = apply_T_1_inv(b1h)
+                u10 = solver_K_p(b0h)
+                u11 = solver_K_p(b1h)
+                c0 = act_00.apply(u10) + act_01.apply(u11)
+                c1 = act_10.apply(u10) + act_11.apply(u11)
+                u10 = solver_M_p(c0)
+                u11 = solver_M_p(c1)
+                return u_0, jnp.concatenate([u10, u11])
+
+            return system, pc_fn
+
+        # the single fused-program solve of large incompressible
+        # space-time systems exceeds what the single-chip TPU backend can
+        # execute (runtime kernel faults past ~16^2 x 3); on accelerators
+        # the outer FGMRES therefore runs on the HOST, dispatching the
+        # operator and preconditioner as separately-jitted programs
+        # (override with ctl._host_loop = False/True)
+        host_loop = getattr(self, "_host_loop", None)
+        if host_loop is None:
+            host_loop = jax.default_backend() != "cpu"
+        if host_loop:
+            system, pc_fn = make_pieces(Dv_A, Dp_A, M)
+            u_0_sol = MixedFunction(space_v, 2 * n)
+            u_1_sol = MixedFunction(space_p, 2 * n)
+            _hs.close()
+            info = system.solve_host(u_0_sol, u_1_sol, b_0, b_1,
+                                     solver_parameters=solver_parameters,
+                                     pc_fn=pc_fn)
+            u0, u1 = u_0_sol.data, u_1_sol.data
         else:
-            u0, u1, info_d = run_kernel(kernel, Dv_A, b_0, b_1, z_0, z_1)
-        info = finalize_solve_info(info_d, solver_parameters)
+            def builder():
+                sp_params = dict(solver_parameters)
+
+                def core(Dv_A, Dp_A, b_0, b_1, u_0i, u_1i):
+                    M_t = LocalOp(M.A, space_v, space_v)
+                    system, pc_fn = make_pieces(Dv_A, Dp_A, M_t)
+                    solve = system.solve_fn(solver_parameters=sp_params,
+                                            pc_fn=pc_fn)
+                    return solve(u_0i, u_1i, b_0, b_1)
+
+                if P is not None:
+                    # no pressure-operator argument with a user pc
+                    return lambda Dv_A, b_0, b_1, u_0i, u_1i: core(
+                        Dv_A, None, b_0, b_1, u_0i, u_1i)
+                return core
+
+            kernel = self._kernel_cache.get(
+                key, builder,
+                pin=(P, nullspace_p, space_v, space_p, M, B, B_T))
+            _hs.close()
+            z_0, z_1 = jnp.zeros_like(b_0), jnp.zeros_like(b_1)
+            if P is None:
+                u0, u1, info_d = run_kernel(kernel, Dv_A, Dp_A, b_0, b_1,
+                                            z_0, z_1)
+            else:
+                u0, u1, info_d = run_kernel(kernel, Dv_A, b_0, b_1,
+                                            z_0, z_1)
+            info = finalize_solve_info(info_d, solver_parameters)
         self.last_solve_info = info
 
         internal_rhs = v_d is None and f is None

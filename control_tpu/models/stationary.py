@@ -553,15 +553,9 @@ class Stationary:
         M_mu_base = (assemble(self._M_mu) if self._M_mu is not None
                      else M_p)
 
-        def builder():
-            sp_params = dict(solver_parameters)
-
-            def core(Dv_A, Dp_A, b_0, b_1, u_0i, u_1i):
+        def make_pieces(Dv_A, Dp_A, M_v_t, M_zeta_t):
                 D_v_t = LocalOp(Dv_A, space_v, space_v)
                 D_zeta_t = D_v_t.T
-                M_v_t = LocalOp(M_v.A, space_v, space_v)
-                M_zeta_t = -(1.0 / beta) * LocalOp(M_zeta_op_A,
-                                                   space_v, space_v)
                 system = MultiBlockSystem(
                     space_v, space_p,
                     block_00={(0, 0): M_v_t, (0, 1): D_zeta_t,
@@ -574,7 +568,7 @@ class Stationary:
                     nullspace_1=(nullspace_p, nullspace_p))
 
                 if P is not None:
-                    pc_fn = P
+                    return system, P
                 else:
                     inner_system = MultiBlockSystem(
                         space_v, space_v,
@@ -625,27 +619,65 @@ class Stationary:
                         u11 = solver_M_p(c1)
                         return u_0, jnp.stack([u10, u11])
 
-                solve = system.solve_fn(solver_parameters=sp_params,
-                                        pc_fn=pc_fn)
-                return solve(u_0i, u_1i, b_0, b_1)
-
-            if P is not None:
-                return lambda Dv_A, b_0, b_1, u_0i, u_1i: core(
-                    Dv_A, None, b_0, b_1, u_0i, u_1i)
-            return core
+                return system, pc_fn
 
         M_zeta_op_A = assemble(self._M_zeta).A
-        kernel = self._kernel_cache.get(
-            key, builder,
-            pin=(P, nullspace_p, space_v, space_p, M_v, B, B_T, K_p, M_p))
-        _hs.close()
-        z_0, z_1 = jnp.zeros_like(b_0), jnp.zeros_like(b_1)
-        if P is None:
-            u0, u1, info_d = run_kernel(kernel, D_v.A, D_p.A, b_0, b_1,
-                                        z_0, z_1)
+
+        # see instationary.incompressible_linear_solve: on accelerators
+        # the outer FGMRES runs on the host with separately-jitted
+        # operator/pc programs (fused incompressible programs can exceed
+        # the single-chip TPU backend's execution limits)
+        import jax as _jax
+        host_loop = getattr(self, "_host_loop", None)
+        if host_loop is None:
+            host_loop = _jax.default_backend() != "cpu"
+        if host_loop:
+            M_v_c = LocalOp(M_v.A, space_v, space_v)
+            M_zeta_c = -(1.0 / beta) * LocalOp(M_zeta_op_A,
+                                               space_v, space_v)
+            system, pc_fn = make_pieces(D_v.A,
+                                        None if P is not None else D_p.A,
+                                        M_v_c, M_zeta_c)
+            from ..fem.space import MixedFunction
+            u_0_sol = MixedFunction(space_v, 2)
+            u_1_sol = MixedFunction(space_p, 2)
+            _hs.close()
+            info = system.solve_host(u_0_sol, u_1_sol, b_0, b_1,
+                                     solver_parameters=solver_parameters,
+                                     pc_fn=pc_fn)
+            u0, u1 = u_0_sol.data, u_1_sol.data
         else:
-            u0, u1, info_d = run_kernel(kernel, D_v.A, b_0, b_1, z_0, z_1)
-        info = finalize_solve_info(info_d, solver_parameters)
+            def builder():
+                sp_params = dict(solver_parameters)
+
+                def core(Dv_A, Dp_A, b_0, b_1, u_0i, u_1i):
+                    M_v_t = LocalOp(M_v.A, space_v, space_v)
+                    M_zeta_t = -(1.0 / beta) * LocalOp(M_zeta_op_A,
+                                                       space_v, space_v)
+                    system, pc_fn = make_pieces(Dv_A, Dp_A, M_v_t,
+                                                M_zeta_t)
+                    solve = system.solve_fn(solver_parameters=sp_params,
+                                            pc_fn=pc_fn)
+                    return solve(u_0i, u_1i, b_0, b_1)
+
+                if P is not None:
+                    return lambda Dv_A, b_0, b_1, u_0i, u_1i: core(
+                        Dv_A, None, b_0, b_1, u_0i, u_1i)
+                return core
+
+            kernel = self._kernel_cache.get(
+                key, builder,
+                pin=(P, nullspace_p, space_v, space_p, M_v, B, B_T,
+                     K_p, M_p))
+            _hs.close()
+            z_0, z_1 = jnp.zeros_like(b_0), jnp.zeros_like(b_1)
+            if P is None:
+                u0, u1, info_d = run_kernel(kernel, D_v.A, D_p.A, b_0,
+                                            b_1, z_0, z_1)
+            else:
+                u0, u1, info_d = run_kernel(kernel, D_v.A, b_0, b_1,
+                                            z_0, z_1)
+            info = finalize_solve_info(info_d, solver_parameters)
         self.last_solve_info = info
 
         v = Function(space_v, name="v")

@@ -558,6 +558,74 @@ class MultiBlockSystem:
 
         return fn
 
+    def solve_host(self, u_0, u_1, b_0, b_1, *, solver_parameters=None,
+                   pc_fn=None):
+        """Like ``solve`` with flexible-GMRES semantics, but the outer
+        Krylov loop runs on the host (krylov.fgmres_host): the operator
+        and preconditioner execute as separately-jitted XLA programs.
+
+        This bounds the compiled program size -- the single fused-program
+        solve of large incompressible space-time systems exceeds what the
+        single-chip TPU backend can execute (runtime kernel faults), while
+        its constituent programs run fine."""
+        sp = dict(solver_parameters or {})
+        method, flexible = self._resolve_solver_parameters(sp)
+        if not flexible:
+            raise ValueError("solve_host implements flexible (right-"
+                             "preconditioned) GMRES semantics only")
+        rtol = sp.get("relative_tolerance", 1.0e-6)
+        atol = sp.get("absolute_tolerance", 0.0)
+        maxiter = sp.get("maximum_iterations", 1000)
+        dtol = sp.get("divergence limit",
+                      sp.get("divergence_limit", None))
+        restart = sp.get("gmres_restart",
+                         sp.get("fgmres_restart", 30))
+        if pc_fn is None:
+            def pc_fn(b0, b1):
+                return b0, b1
+
+        def wrapped_pc(b):
+            b0, b1 = b
+            b0c = _apply_per_block(self.ns0, "pc_pre_mult_corrected", b0)
+            b1c = _apply_per_block(self.ns1, "pc_pre_mult_corrected", b1)
+            u0, u1 = pc_fn(b0c, b1c)
+            u0 = _apply_per_block(self.ns0, "pc_post_mult_correct", u0, b0)
+            u1 = _apply_per_block(self.ns1, "pc_post_mult_correct", u1, b1)
+            return u0, u1
+
+        def operator(x):
+            return self.mult(*x)
+
+        u0 = self._as_stack(u_0, self.n0, self.space_0)
+        u1 = self._as_stack(u_1, self.n1, self.space_1)
+        b0 = self._as_stack(b_0, self.n0, self.space_0)
+        b1 = self._as_stack(b_1, self.n1, self.space_1)
+        on_accel = jax.default_backend() != "cpu"
+        if on_accel:
+            dev = jax.devices()[0]
+            u0, u1, b0, b1 = (jax.device_put(x, dev)
+                              for x in (u0, u1, b0, b1))
+        u0 = _apply_per_block(self.ns0, "correct_soln", u0)
+        u1 = _apply_per_block(self.ns1, "correct_soln", u1)
+        b0 = _apply_per_block(self.ns0, "correct_rhs", b0)
+        b1 = _apply_per_block(self.ns1, "correct_rhs", b1)
+        x, info_d = krylov.fgmres_host(
+            operator, (b0, b1), x0=(u0, u1), M=wrapped_pc,
+            restart=restart, rtol=rtol, atol=atol, maxiter=maxiter,
+            dtol=dtol)
+        u0, u1 = x
+        u0 = _apply_per_block(self.ns0, "correct_soln", u0)
+        u1 = _apply_per_block(self.ns1, "correct_soln", u1)
+        if on_accel:
+            host = jax.devices("cpu")[0]
+            u0 = jax.device_put(u0, host)
+            u1 = jax.device_put(u1, host)
+
+        info = finalize_solve_info(info_d, sp)
+        self._write_back(u_0, u0, self.n0)
+        self._write_back(u_1, u1, self.n1)
+        return info
+
     def solve(self, u_0, u_1, b_0, b_1, *, solver_parameters=None,
               pc_fn=None, jit=True):
         sp = dict(solver_parameters or {})

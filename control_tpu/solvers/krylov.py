@@ -21,6 +21,7 @@ vectors are flattened once with ``ravel_pytree``.
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -285,6 +286,113 @@ def chebyshev(A, b, bounds, iters, x0=None, M=None):
 
 def jacobi_apply(diag, b):
     return jax.tree_util.tree_map(lambda d, v: v / d, diag, b)
+
+
+def fgmres_host(A, b, x0=None, *, M=None, restart=30, rtol=1e-6, atol=0.0,
+                maxiter=100, dtol=None):
+    """Flexible GMRES with the OUTER loop on the host.
+
+    The operator and preconditioner run as separately-jitted XLA programs
+    and the Arnoldi bookkeeping as one small jitted program; the Hessenberg
+    factorisation stays in host numpy.  This trades per-iteration dispatch
+    latency for bounded program size: the single fused-program solve of the
+    large incompressible space-time systems exceeds what the TPU backend
+    can execute (worker kernel faults), while each piece runs fine.
+    Semantics match ``fgmres`` (right pc, true residual norm).
+    """
+    b_flat, unravel = ravel_pytree(b)
+    n = b_flat.shape[0]
+    dtype = b_flat.dtype
+    x = ravel_pytree(x0)[0] if x0 is not None else jnp.zeros_like(b_flat)
+    Af = jax.jit(_flat_op(A, unravel))
+    Mf = jax.jit(_flat_op(M, unravel)) if M is not None else (lambda v: v)
+
+    @jax.jit
+    def _residual(x):
+        return b_flat - Af(x)
+
+    @jax.jit
+    def _orth(V, w, j):
+        # modified-Gram-Schmidt-like projection against rows 0..j of V in
+        # one fused program (classical GS with one reorthogonalisation
+        # pass -- numerically adequate at these restart lengths)
+        mask = (jnp.arange(V.shape[0]) <= j).astype(w.dtype)
+        h1 = (V @ w) * mask
+        w = w - V.T @ h1
+        h2 = (V @ w) * mask
+        w = w - V.T @ h2
+        nrm = jnp.sqrt(jnp.vdot(w, w).real)
+        return h1 + h2, w, nrm
+
+    @jax.jit
+    def _update(x, Z, y):
+        return x + Z.T @ y
+
+    bnorm = float(np.sqrt(abs(np.asarray(jnp.vdot(b_flat, b_flat)))))
+    r = _residual(x)
+    rnorm0 = float(np.sqrt(abs(np.asarray(jnp.vdot(r, r)))))
+    tol = max(rtol * bnorm, atol)
+    dlim = np.inf if dtol is None else dtol * rnorm0
+    hist = np.full((maxiter + 1,), np.nan)
+    hist[0] = rnorm0
+
+    m = restart
+    it = 0
+    rnorm = rnorm0
+    while rnorm > tol and it < maxiter and rnorm <= dlim:
+        r = _residual(x)
+        beta = float(np.sqrt(abs(np.asarray(jnp.vdot(r, r)))))
+        if beta == 0.0:
+            rnorm = 0.0
+            break
+        V = jnp.zeros((m + 1, n), dtype).at[0].set(r / beta)
+        Z = jnp.zeros((m, n), dtype)
+        H = np.zeros((m + 1, m))
+        cs = np.zeros(m)
+        sn = np.zeros(m)
+        g = np.zeros(m + 1)
+        g[0] = beta
+        j = 0
+        while j < m and rnorm > tol and it < maxiter and rnorm <= dlim:
+            z = Mf(V[j])
+            Z = Z.at[j].set(z)
+            w = Af(z)
+            h, w, nrm = _orth(V, w, j)
+            h_np = np.asarray(h)
+            nrm = float(nrm)
+            H[:j + 1, j] = h_np[:j + 1]
+            H[j + 1, j] = nrm
+            V = V.at[j + 1].set(w / (nrm if nrm > 0 else 1.0))
+            # Givens update of column j (host)
+            col = H[:, j].copy()
+            for k in range(j):
+                t1 = cs[k] * col[k] + sn[k] * col[k + 1]
+                t2 = -sn[k] * col[k] + cs[k] * col[k + 1]
+                col[k], col[k + 1] = t1, t2
+            denom = np.hypot(col[j], col[j + 1])
+            c = col[j] / denom if denom > 0 else 1.0
+            s = col[j + 1] / denom if denom > 0 else 0.0
+            col[j] = c * col[j] + s * col[j + 1]
+            col[j + 1] = 0.0
+            H[:, j] = col
+            cs[j], sn[j] = c, s
+            gj = g[j]
+            g[j] = c * gj
+            g[j + 1] = -s * gj
+            rnorm = abs(g[j + 1])
+            it += 1
+            hist[it] = rnorm
+            j += 1
+        # back substitution (host) + solution update (device)
+        y = np.zeros(m)
+        for i in range(j - 1, -1, -1):
+            y[i] = (g[i] - H[i, :] @ y) / (H[i, i] if H[i, i] != 0 else 1.0)
+        x = _update(x, Z, jnp.asarray(y, dtype))
+
+    info = {"iterations": it, "res_norms": jnp.asarray(hist),
+            "rnorm0": rnorm0, "rnorm": rnorm,
+            "converged": rnorm <= max(tol, 0.0)}
+    return unravel(x), info
 
 
 SOLVERS = {"gmres": gmres, "fgmres": fgmres, "minres": minres}

@@ -112,6 +112,135 @@ def _errors(ctl, space_v):
     return np.sqrt(tau * ev2), np.sqrt(tau * ez2)
 
 
+def _setup_time(space_v, space_p, n_t, CN):
+    """Time-convergence variant (reference test/test_control.py:3546-3754
+    BE / :3965-4171 CN): time-NONLINEAR factors g(t) = exp(-t) on the
+    state and h(t) = (t_f - t) exp(-t) on the adjoint (h(t_f) = 0), same
+    spatial profiles, so the sweep in n_t isolates the time orders."""
+    import control_tpu as ct
+    X = SpatialCoordinate(space_v.mesh)
+
+    def g(t):
+        return ct.exp(-1.0 * t)
+
+    def dg(t):
+        return -1.0 * ct.exp(-1.0 * t)
+
+    def h(t):
+        return (Constant(T_F) - t) * ct.exp(-1.0 * t)
+
+    def dh(t):
+        return (-1.0 - (Constant(T_F) - t)) * ct.exp(-1.0 * t)
+
+    def vp(X):
+        x = X[0] - 1.0
+        y = X[1] - 1.0
+        return (x * y ** 3, 0.25 * (x ** 4 - y ** 4))
+
+    def zp(X):
+        x = X[0] - 1.0
+        y = X[1] - 1.0
+        return (2.0 * y * (x ** 2 - 1.0) ** 2 * (y ** 2 - 1.0),
+                -2.0 * x * (x ** 2 - 1.0) * (y ** 2 - 1.0) ** 2)
+
+    def forw_diff_operator(trial, test, u, t):
+        return inner(grad(trial), grad(test)) * dx
+
+    def desired_state(test, t):
+        x = X[0] - 1.0
+        y = X[1] - 1.0
+        V = vp(X)
+        Z = zp(X)
+        lapl_zu = (2.0 * (y * (y ** 2 - 1.0) * (12.0 * x ** 2 - 4.0)
+                          + 6.0 * y * (x ** 2 - 1.0) ** 2),
+                   -2.0 * (6.0 * x * (y ** 2 - 1.0) ** 2
+                           + x * (x ** 2 - 1.0) * (12.0 * y ** 2 - 4.0)))
+        grad_mu_u = (4.0 * y, 4.0 * x)
+        # v_d = v - zeta_t - lapl zeta + grad mu, zeta = beta h Z,
+        # mu = 4 beta h x y
+        v_d = Function(space_v).interpolate(
+            (g(t) * V[0] + BETA * (-dh(t) * Z[0]
+                                   - h(t) * lapl_zu[0]
+                                   + h(t) * grad_mu_u[0]),
+             g(t) * V[1] + BETA * (-dh(t) * Z[1]
+                                   - h(t) * lapl_zu[1]
+                                   + h(t) * grad_mu_u[1])))
+        true_v = Function(space_v).interpolate(
+            (g(t) * V[0], g(t) * V[1]))
+        return inner(v_d, test) * dx, true_v
+
+    def force_f(test, t):
+        V = vp(X)
+        Z = zp(X)
+        # f = v_t - lapl v + grad p - zeta/beta = g' V - h Z
+        f = Function(space_v).interpolate(
+            (dg(t) * V[0] - h(t) * Z[0],
+             dg(t) * V[1] - h(t) * Z[1]))
+        return inner(f, test) * dx
+
+    def initial_condition(test):
+        V = vp(X)
+        return Function(space_v).interpolate(
+            (g(Constant(0.0)) * V[0], g(Constant(0.0)) * V[1]))
+
+    def bc_t(space_0, t):
+        V = vp(X)
+        return DirichletBC(space_0, (g(t) * V[0], g(t) * V[1]),
+                           "on_boundary")
+
+    ctl = Control.Instationary(
+        space_v, forw_diff_operator, desired_state=desired_state,
+        force_f=force_f, beta=BETA, space_p=space_p, n_t=n_t,
+        time_interval=(0.0, T_F), CN=CN,
+        initial_condition=initial_condition, bcs_v=bc_t)
+
+    def v_exact(t):
+        V = vp(X)
+        return (g(t) * V[0], g(t) * V[1])
+
+    def z_exact(t):
+        Z = zp(X)
+        return (BETA * h(t) * Z[0], BETA * h(t) * Z[1])
+
+    return ctl, v_exact, z_exact
+
+
+@pytest.mark.parametrize("CN,expected_order", [(False, 1.0), (True, 2.0)])
+def test_MMS_instationary_stokes_convergence_time(CN, expected_order):
+    from control_tpu import RectangleMesh as _RM
+    # CN's O(tau^2) error sits below the 12^2 FE floor at these n_t;
+    # measure it on a finer mesh with coarser time grids
+    mesh_n, n_ts = (12, (5, 9, 17)) if not CN else (24, (3, 5, 9))
+    mesh = _RM(mesh_n, mesh_n, 2.0, 2.0, quadrilateral=True)
+    space_v = VectorFunctionSpace(mesh, "Lagrange", 2)
+    space_p = FunctionSpace(mesh, "Lagrange", 1)
+    X = SpatialCoordinate(mesh)
+    errs_v = []
+    for n_t in n_ts:
+        ctl, v_exact, z_exact = _setup_time(space_v, space_p, n_t, CN)
+        ctl.incompressible_linear_solve(
+            ConstantNullspace(),
+            lambda_v_bounds=(0.25, 1.5625), lambda_p_bounds=(0.25, 2.25),
+            solver_parameters={"linear_solver": "fgmres",
+                               "fgmres_restart": 10,
+                               "maximum_iterations": 200,
+                               "relative_tolerance": 1.0e-11,
+                               "absolute_tolerance": 1.0e-11,
+                               "monitor_convergence": False},
+            print_error=False, create_output=False, plots=False)
+        tau = ctl._tau
+        ev2 = 0.0
+        for i, t in enumerate(ctl._times()):
+            v_ref = Function(space_v).interpolate(
+                v_exact(Constant(float(t))))
+            dv = Function(space_v, data=ctl._v.data[i] - v_ref.data)
+            ev2 += float(assemble(inner(dv, dv) * dx))
+        errs_v.append(np.sqrt(tau * ev2))
+    ov = np.log(np.array(errs_v[:-1]) / np.array(errs_v[1:])) / np.log(2.0)
+    assert ov[-1] > expected_order - 0.35, (errs_v, ov)
+    assert ov[-1] < expected_order + 0.75, (errs_v, ov)
+
+
 @pytest.mark.parametrize("CN", [True, False])
 def test_MMS_instationary_stokes_convergence_FE(CN):
     n_t = 6
