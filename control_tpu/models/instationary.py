@@ -1561,13 +1561,23 @@ class Instationary:
         if host_loop is None:
             host_loop = jax.default_backend() != "cpu"
         if host_loop:
-            system, pc_fn = make_pieces(Dv_A, Dp_A, M)
+            # pieces + their jitted programs cached per linearisation
+            # state so repeated same-state solves skip the re-jit
+            htok = (key, array_token(Dv_A),
+                    None if Dp_A is None else array_token(Dp_A))
+            if not hasattr(self, "_host_cache"):
+                self._host_cache = {}
+            ent = self._host_cache.get(htok)
+            if ent is None:
+                system, pc_fn = make_pieces(Dv_A, Dp_A, M)
+                ent = self._host_cache[htok] = (system, pc_fn, {})
+            system, pc_fn, store = ent
             u_0_sol = MixedFunction(space_v, 2 * n)
             u_1_sol = MixedFunction(space_p, 2 * n)
             _hs.close()
             info = system.solve_host(u_0_sol, u_1_sol, b_0, b_1,
                                      solver_parameters=solver_parameters,
-                                     pc_fn=pc_fn)
+                                     pc_fn=pc_fn, jit_store=store)
             u0, u1 = u_0_sol.data, u_1_sol.data
         else:
             def builder():

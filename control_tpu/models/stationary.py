@@ -632,19 +632,27 @@ class Stationary:
         if host_loop is None:
             host_loop = _jax.default_backend() != "cpu"
         if host_loop:
-            M_v_c = LocalOp(M_v.A, space_v, space_v)
-            M_zeta_c = -(1.0 / beta) * LocalOp(M_zeta_op_A,
-                                               space_v, space_v)
-            system, pc_fn = make_pieces(D_v.A,
-                                        None if P is not None else D_p.A,
-                                        M_v_c, M_zeta_c)
+            htok = (key, array_token(D_v.A),
+                    None if P is not None else array_token(D_p.A))
+            if not hasattr(self, "_host_cache"):
+                self._host_cache = {}
+            ent = self._host_cache.get(htok)
+            if ent is None:
+                M_v_c = LocalOp(M_v.A, space_v, space_v)
+                M_zeta_c = -(1.0 / beta) * LocalOp(M_zeta_op_A,
+                                                   space_v, space_v)
+                system, pc_fn = make_pieces(
+                    D_v.A, None if P is not None else D_p.A,
+                    M_v_c, M_zeta_c)
+                ent = self._host_cache[htok] = (system, pc_fn, {})
+            system, pc_fn, store = ent
             from ..fem.space import MixedFunction
             u_0_sol = MixedFunction(space_v, 2)
             u_1_sol = MixedFunction(space_p, 2)
             _hs.close()
             info = system.solve_host(u_0_sol, u_1_sol, b_0, b_1,
                                      solver_parameters=solver_parameters,
-                                     pc_fn=pc_fn)
+                                     pc_fn=pc_fn, jit_store=store)
             u0, u1 = u_0_sol.data, u_1_sol.data
         else:
             def builder():

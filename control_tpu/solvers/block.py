@@ -559,7 +559,7 @@ class MultiBlockSystem:
         return fn
 
     def solve_host(self, u_0, u_1, b_0, b_1, *, solver_parameters=None,
-                   pc_fn=None):
+                   pc_fn=None, jit_store=None):
         """Like ``solve`` with flexible-GMRES semantics, but the outer
         Krylov loop runs on the host (krylov.fgmres_host): the operator
         and preconditioner execute as separately-jitted XLA programs.
@@ -612,7 +612,7 @@ class MultiBlockSystem:
         x, info_d = krylov.fgmres_host(
             operator, (b0, b1), x0=(u0, u1), M=wrapped_pc,
             restart=restart, rtol=rtol, atol=atol, maxiter=maxiter,
-            dtol=dtol)
+            dtol=dtol, jit_store=jit_store)
         u0, u1 = x
         u0 = _apply_per_block(self.ns0, "correct_soln", u0)
         u1 = _apply_per_block(self.ns1, "correct_soln", u1)

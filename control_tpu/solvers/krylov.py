@@ -289,7 +289,7 @@ def jacobi_apply(diag, b):
 
 
 def fgmres_host(A, b, x0=None, *, M=None, restart=30, rtol=1e-6, atol=0.0,
-                maxiter=100, dtol=None):
+                maxiter=100, dtol=None, jit_store=None):
     """Flexible GMRES with the OUTER loop on the host.
 
     The operator and preconditioner run as separately-jitted XLA programs
@@ -299,34 +299,53 @@ def fgmres_host(A, b, x0=None, *, M=None, restart=30, rtol=1e-6, atol=0.0,
     large incompressible space-time systems exceeds what the TPU backend
     can execute (worker kernel faults), while each piece runs fine.
     Semantics match ``fgmres`` (right pc, true residual norm).
-    """
+
+    ``jit_store`` (an empty dict supplied by the caller) caches the jitted
+    programs across calls with the same operator/preconditioner objects,
+    avoiding a re-jit per solve."""
     b_flat, unravel = ravel_pytree(b)
     n = b_flat.shape[0]
     dtype = b_flat.dtype
     x = ravel_pytree(x0)[0] if x0 is not None else jnp.zeros_like(b_flat)
-    Af = jax.jit(_flat_op(A, unravel))
-    Mf = jax.jit(_flat_op(M, unravel)) if M is not None else (lambda v: v)
+    if jit_store is None:
+        jit_store = {}
+    if "Af" not in jit_store:
+        jit_store["Af"] = jax.jit(_flat_op(A, unravel))
+        jit_store["Mf"] = (jax.jit(_flat_op(M, unravel))
+                           if M is not None else (lambda v: v))
 
-    @jax.jit
+        @jax.jit
+        def _residual(x, b_flat):
+            return b_flat - jit_store["Af"](x)
+
+        @jax.jit
+        def _orth(V, w, j):
+            # projection against rows 0..j of V in one fused program
+            # (classical GS with one reorthogonalisation pass --
+            # numerically adequate at these restart lengths)
+            mask = (jnp.arange(V.shape[0]) <= j).astype(w.dtype)
+            h1 = (V @ w) * mask
+            w = w - V.T @ h1
+            h2 = (V @ w) * mask
+            w = w - V.T @ h2
+            nrm = jnp.sqrt(jnp.vdot(w, w).real)
+            return h1 + h2, w, nrm
+
+        @jax.jit
+        def _update(x, Z, y):
+            return x + Z.T @ y
+
+        jit_store["residual"] = _residual
+        jit_store["orth"] = _orth
+        jit_store["update"] = _update
+    Af = jit_store["Af"]
+    Mf = jit_store["Mf"]
+    _orth = jit_store["orth"]
+    _update = jit_store["update"]
+    _residual_b = jit_store["residual"]
+
     def _residual(x):
-        return b_flat - Af(x)
-
-    @jax.jit
-    def _orth(V, w, j):
-        # modified-Gram-Schmidt-like projection against rows 0..j of V in
-        # one fused program (classical GS with one reorthogonalisation
-        # pass -- numerically adequate at these restart lengths)
-        mask = (jnp.arange(V.shape[0]) <= j).astype(w.dtype)
-        h1 = (V @ w) * mask
-        w = w - V.T @ h1
-        h2 = (V @ w) * mask
-        w = w - V.T @ h2
-        nrm = jnp.sqrt(jnp.vdot(w, w).real)
-        return h1 + h2, w, nrm
-
-    @jax.jit
-    def _update(x, Z, y):
-        return x + Z.T @ y
+        return _residual_b(x, b_flat)
 
     bnorm = float(np.sqrt(abs(np.asarray(jnp.vdot(b_flat, b_flat)))))
     r = _residual(x)
