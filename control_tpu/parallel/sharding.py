@@ -12,8 +12,14 @@ ICI instead of DCN.
 
 Axes:
   "sy", "sx"  -- spatial domain decomposition of the node grid,
-  time        -- kept local (the Schur sweeps scan over it sequentially;
-                 the matvec and (1,1) solves are batched over it).
+  "t"         -- the time-block axis of the all-at-once vector.  With the
+                 ParaDiag Schur sweeps (set_schur_sweep("paradiag")) every
+                 solver stage is collective-friendly along time: the block
+                 matvec couples nearest neighbours (halo permutes), the
+                 T-transform cumsums and the DFT matmuls contract over the
+                 sharded axis (psum), and the per-frequency V-cycles are
+                 embarrassingly parallel.  The reference executes this
+                 axis serially in Python (SURVEY section 5.7).
 """
 
 import numpy as np
@@ -49,6 +55,30 @@ def grid_sharding(mesh, space, leading_axes=1):
 def shard_stack(x, mesh, space, leading_axes=1):
     """Place a stacked grid array onto the device mesh."""
     return jax.device_put(x, grid_sharding(mesh, space, leading_axes))
+
+
+def make_time_mesh(n_devices=None, devices=None):
+    """A 1-D device mesh over the time-block ("sequence") axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    return Mesh(np.asarray(devices[:n_devices]), ("t",))
+
+
+def time_sharding(mesh, space):
+    """NamedSharding for a stacked grid array (n_blocks, ny, nx[, comp]):
+    the time-block axis sharded, spatial axes replicated."""
+    spec = ["t", None, None]
+    if space.dim is not None:
+        spec.append(None)
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_time_stack(x, mesh, space):
+    """Place a stacked grid array onto the device mesh, sharded along the
+    leading time-block axis."""
+    return jax.device_put(x, time_sharding(mesh, space))
 
 
 def shard_problem_state(ctl, mesh):

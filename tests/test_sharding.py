@@ -39,6 +39,38 @@ def test_sharded_solve_matches_single_device():
     assert float(jnp.abs(z_s - z_ref).max()) < 1e-11
 
 
+def test_time_sharded_paradiag_solve_matches_single_device():
+    """Time-axis ("sequence") sharding: with the ParaDiag Schur sweeps the
+    whole solve is collective-friendly along time (halo permutes for the
+    neighbour couplings, psum for the T-transform cumsums and DFT
+    contractions, embarrassingly parallel frequency solves) -- the
+    reference executes this axis serially in Python (SURVEY section
+    5.7)."""
+    from control_tpu.parallel.sharding import make_time_mesh, \
+        shard_time_stack
+    assert len(jax.devices()) >= 8
+    import __graft_entry__ as g
+    ctl, space = g._heat_problem(n=12, n_t=9)   # 8 time blocks, 8 devices
+    ctl.set_schur_sweep("paradiag")
+    system, pc, b_0, b_1 = g._solve_pieces(ctl)
+    params = {"linear_solver": "gmres", "gmres_restart": 10,
+              "maximum_iterations": 40, "relative_tolerance": 1e-8,
+              "absolute_tolerance": 0.0}
+    solve = jax.jit(system.solve_fn(solver_parameters=params, pc_fn=pc))
+    u0 = 0.0 * b_0
+    v_ref, z_ref, info_ref = solve(u0, u0, b_0, b_1)
+
+    mesh = make_time_mesh(8)
+    b_0s = shard_time_stack(b_0, mesh, space)
+    b_1s = shard_time_stack(b_1, mesh, space)
+    u0s = shard_time_stack(u0, mesh, space)
+    v_s, z_s, info_s = solve(u0s, u0s, b_0s, b_1s)
+
+    assert int(info_s["iterations"]) == int(info_ref["iterations"])
+    assert float(jnp.abs(v_s - v_ref).max()) < 1e-11
+    assert float(jnp.abs(z_s - z_ref).max()) < 1e-11
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
