@@ -81,6 +81,40 @@ class KernelCache:
         return len(self._entries)
 
 
+_CKEY = "__complex__"
+
+
+def encode_complex(tree):
+    """Split complex leaves into (re, im) real pairs.  Complex arrays
+    cannot be device_put onto the axon TPU backend (UNIMPLEMENTED); the
+    ParaDiag frequency-space hierarchies transfer as reals and are
+    recombined in-trace by decode_complex (one cheap complex-construct op
+    per leaf)."""
+    return jax.tree_util.tree_map(
+        lambda x: ({_CKEY: (jnp.real(x), jnp.imag(x))}
+                   if jnp.iscomplexobj(x) else x), tree)
+
+
+def decode_complex(tree):
+    def is_pair(x):
+        return isinstance(x, dict) and _CKEY in x
+
+    return jax.tree_util.tree_map(
+        lambda x: (x[_CKEY][0] + 1j * x[_CKEY][1]) if is_pair(x) else x,
+        tree, is_leaf=is_pair)
+
+
+def to_device(tree):
+    """Move a pytree to the accelerator (no-op on CPU backends).  Cached
+    pc states are stored device-resident so repeat solves do not re-send
+    hundreds of MB through the (remote) transfer tunnel each call --
+    run_kernel's device_put then passes them through untouched."""
+    dev = jax.devices()[0]       # default-backend device, not affected by
+    if dev.platform == "cpu":    # the host_setup default_device context
+        return tree
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, dev), tree)
+
+
 def run_kernel(fn, *args):
     """Run a jitted solve kernel with inputs placed on the accelerator and
     outputs brought back to the host, so surrounding eager setup stays on
@@ -107,19 +141,35 @@ class BlockSolver:
     Applies batched over arbitrary leading axes.
     """
 
-    def __init__(self, op, mask, kind):
+    def __init__(self, op, mask, kind, state=None):
+        # ``state``: previously-built numeric state (a pytree of arrays, as
+        # exposed by ``.state``) -- lets solve kernels rebuild the solver
+        # structure inside a trace with the numeric state passed as an
+        # ARGUMENT instead of re-deriving it in-trace (host-CPU-built
+        # hierarchies are both more accurate and keep compiled executables
+        # free of large baked-in constants)
         self.kind = kind
         self.mask = mask
         self.op = MaskedOp(op, mask) if mask is not None else op
         if kind[0] == "mg":
             inner = self.op.op if isinstance(self.op, MaskedOp) else self.op
             self.config = MGConfig(inner.trial_space, mask)
-            self.params = self.config.build(inner.A)
+            self.params = (self.config.build(inner.A) if state is None
+                           else state)
+            self.state = self.params
         else:
             from ..ops.stencil import StencilOp
-            self.op = StencilOp.from_local(self.op)
-            d = self.op.diag()
-            self.diag = jnp.where(d == 0, 1.0, d)
+            if state is None:
+                self.op = StencilOp.from_local(self.op)
+                d = self.op.diag()
+                self.diag = jnp.where(d == 0, 1.0, d)
+                self.state = {"w": self.op.w, "diag": self.diag}
+            else:
+                inner = (self.op.op if isinstance(self.op, MaskedOp)
+                         else self.op)
+                self.op = StencilOp(inner.trial_space, state["w"])
+                self.diag = state["diag"]
+                self.state = state
 
     def __call__(self, b):
         if self.kind[0] == "mg":
@@ -131,15 +181,16 @@ class BlockSolver:
         return b / self.diag
 
 
-def mass_solver(M_op, mask, multigrid_flag, lambda_bounds):
+def mass_solver(M_op, mask, multigrid_flag, lambda_bounds, state=None):
     """The reference's (1,1)-block solver selection
     (control/control.py:356-394): BoomerAMG when Multigrid=True, Chebyshev
     semi-iteration (20 its) with user bounds, else plain Jacobi."""
     if multigrid_flag:
-        return BlockSolver(M_op, mask, ("mg", 2))
+        return BlockSolver(M_op, mask, ("mg", 2), state=state)
     if lambda_bounds is not None:
-        return BlockSolver(M_op, mask, ("cheb", tuple(lambda_bounds), 20))
-    return BlockSolver(M_op, mask, ("jacobi",))
+        return BlockSolver(M_op, mask, ("cheb", tuple(lambda_bounds), 20),
+                           state=state)
+    return BlockSolver(M_op, mask, ("jacobi",), state=state)
 
 
 # ---------------------------------------------------------------------------

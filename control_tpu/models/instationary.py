@@ -82,7 +82,7 @@ class _SweepSolver:
     differ).  Scalar spaces use the fused node-stencil fast path for both
     the sub-diagonal action and the V-cycle operators."""
 
-    def __init__(self, space, mask, diag_A, sub_A, cycles=1):
+    def __init__(self, space, mask, diag_A, sub_A, cycles=1, state=None):
         # one V-cycle with 4+4 Chebyshev smoothing matches the quality of
         # the reference's 2 BoomerAMG applications per substitution step at
         # half the sequential-latency cost (measured on the 256^2 x 64 heat
@@ -90,16 +90,21 @@ class _SweepSolver:
         self.space, self.mask, self.cycles = space, mask, cycles
         self.config = MGConfig(space, mask)
         self.shared = diag_A.shape[0] == 1
-        if self.shared:
-            self.params = self.config.build(diag_A[0])
-        else:
-            self.params = jax.vmap(self.config.build)(diag_A)
         self.stencil_sub = True
-        if sub_A is None:
-            self.sub = None
+        if state is not None:
+            self.params = state["params"]
+            self.sub = state["sub"]
         else:
-            from ..ops.stencil import node_stencil
-            self.sub = node_stencil(sub_A, space)   # (m|1, K, ny, nx[, D, D])
+            if self.shared:
+                self.params = self.config.build(diag_A[0])
+            else:
+                self.params = jax.vmap(self.config.build)(diag_A)
+            if sub_A is None:
+                self.sub = None
+            else:
+                from ..ops.stencil import node_stencil
+                self.sub = node_stencil(sub_A, space)  # (m|1,K,ny,nx[,D,D])
+        self.state = {"params": self.params, "sub": self.sub}
 
     def _sub_apply(self, S_i, u):
         if self.stencil_sub:
@@ -238,7 +243,7 @@ class _ParaDiagSweep:
     accurate than the block preconditioner it lives in."""
 
     def __init__(self, space, mask, diag_A, sub_A, n, alpha=None,
-                 cycles=2):
+                 cycles=2, state=None):
         if diag_A.shape[0] != 1:
             raise ValueError("ParaDiag requires a Toeplitz (time-"
                              "independent) sweep factor")
@@ -252,21 +257,29 @@ class _ParaDiagSweep:
         # FREQUENCY (n//2+1 complex inversions via real 2x2-block LU);
         # the default 4500-dof coarse level would dominate setup
         self.config = MGConfig(space, mask, coarse_max_dofs=600)
+        from .common import encode_complex, decode_complex
         self.trivial = sub_A is None or n == 1
         if self.trivial:
             # block-diagonal: one real hierarchy, blocks solved batched
-            self.params = self.config.build(diag_A[0])
+            self.params = (self.config.build(diag_A[0]) if state is None
+                           else state["params"])
+            self.state = {"params": self.params}
             return
         cdtype = (jnp.complex64 if rdtype == jnp.dtype(jnp.float32)
                   else jnp.complex128)
         n_f = n // 2 + 1
-        k = jnp.arange(n_f)
-        mu = (alpha ** (1.0 / n)
-              * jnp.exp((-2j * jnp.pi / n) * k)).astype(cdtype)
-        F = diag_A[0].astype(cdtype)
-        S = jnp.broadcast_to(sub_A[0], diag_A.shape[1:]).astype(cdtype)
-        A_k = F[None] + mu[:, None, None, None] * S[None]
-        self.params = jax.vmap(self.config.build)(A_k)
+        if state is None:
+            k = jnp.arange(n_f)
+            mu = (alpha ** (1.0 / n)
+                  * jnp.exp((-2j * jnp.pi / n) * k)).astype(cdtype)
+            F = diag_A[0].astype(cdtype)
+            S = jnp.broadcast_to(sub_A[0], diag_A.shape[1:]).astype(cdtype)
+            A_k = F[None] + mu[:, None, None, None] * S[None]
+            self.params = jax.vmap(self.config.build)(A_k)
+        else:
+            self.params = decode_complex(state["params"])
+        # complex leaves transfer to the accelerator as (re, im) pairs
+        self.state = {"params": encode_complex(self.params)}
         # time-axis DFT as explicit MXU matmuls (precision HIGHEST), not
         # jnp.fft: the TPU f32 FFT's rounding error is amplified by the
         # 1/alpha unscaling and destroys the sweep; a small dense DFT at
@@ -399,9 +412,11 @@ class Instationary:
 
     def set_desired_state(self, desired_state):
         self._desired_state = desired_state
+        self._data_cache = {}
 
     def set_force_function(self, force_function):
         self._force_function = force_function
+        self._data_cache = {}
 
     def set_beta(self, beta):
         self._beta = beta
@@ -459,11 +474,30 @@ class Instationary:
     def set_Gauss_Newton(self, Gauss_Newton=True):
         self._Gauss_Newton = Gauss_Newton
 
-    def set_v(self, v_new):
-        self._v.assign(v_new)
+    def _bc_stack(self):
+        """Stacked (mask, value) arrays of the per-time-step Dirichlet bcs
+        (cached; rebuilt when set_bcs_v/set_time_interval replace
+        self._bcs_v) -- applying bcs to the whole time stack is one
+        ``where`` instead of n_t full-stack copies."""
+        key = id(self._bcs_v)
+        ent = getattr(self, "_bc_stack_cache", None)
+        if ent is not None and ent[0] == key:
+            return ent[1]
+        sp = self._space_v
+        dtype = sp.mesh.dtype
+        mk = jnp.zeros((self._n_t,) + sp.grid_shape, bool)
+        val = jnp.zeros((self._n_t,) + sp.grid_shape, dtype)
         for i in range(self._n_t):
             for bc in self._bcs_v[i]:
-                bc.apply(self._v.sub(i))
+                mk = mk.at[i].set(jnp.where(bc.mask, True, mk[i]))
+                val = val.at[i].set(jnp.where(bc.mask, bc.g, val[i]))
+        self._bc_stack_cache = (key, (mk, val))
+        return mk, val
+
+    def set_v(self, v_new):
+        self._v.assign(v_new)
+        mk, val = self._bc_stack()
+        self._v.data = jnp.where(mk, val, self._v.data)
 
     def set_zeta(self, zeta_new):
         self._zeta.assign(zeta_new)
@@ -552,25 +586,56 @@ class Instationary:
         return jax.vmap(one)(v_old_data, times)
 
     # -------------------------------------------------------- data vectors
+    # construct_f / construct_v_d loop over all n_t time points with a
+    # full-stack copy per step (the reference rebuilds them per solve too,
+    # control/control.py:3429-3431, but its per-step assembles are cheap);
+    # here the eager host loop dominates repeat-solve time, so the outputs
+    # are cached keyed by the user callables + time grid
+    def _data_cache_get(self, kind, key, build):
+        cache = getattr(self, "_data_cache", None)
+        if cache is None:
+            cache = self._data_cache = {}
+        ent = cache.get(kind)
+        if ent is None or ent[0] != key:
+            ent = (key, build())
+            cache[kind] = ent
+        return ent[1]
+
     def construct_f(self, v_test=None):
         """Stacked force vector (reference control/control.py:1898-1916)."""
-        if v_test is None:
-            v_test = TestFunction(self._space_v)
-        f = MixedFunction(self._space_v, self._n_t, dual=True, name="f")
-        for i, t in enumerate(self._times()):
-            f.sub(i).assign(assemble(
-                self._force_function(v_test, Constant(float(t)))))
-        return f
+        key = (id(self._force_function), self._n_t, self._time_interval,
+               id(self._space_v), id(v_test))
+
+        def build():
+            vt = v_test if v_test is not None \
+                else TestFunction(self._space_v)
+            f = MixedFunction(self._space_v, self._n_t, dual=True,
+                              name="f")
+            for i, t in enumerate(self._times()):
+                f.sub(i).assign(assemble(
+                    self._force_function(vt, Constant(float(t)))))
+            return f
+
+        return self._data_cache_get("f", key, build)
 
     def construct_v_d(self, v_test=None):
-        if v_test is None:
-            v_test = TestFunction(self._space_v)
-        v_d = MixedFunction(self._space_v, self._n_t, dual=True, name="v_d")
-        true_v = MixedFunction(self._space_v, self._n_t, name="true_v")
-        for i, t in enumerate(self._times()):
-            v_d_i, true_v_i = self._desired_state(v_test, Constant(float(t)))
-            v_d.sub(i).assign(assemble(v_d_i))
-            true_v.sub(i).assign(true_v_i)
+        key = (id(self._desired_state), self._n_t, self._time_interval,
+               id(self._space_v), id(v_test))
+
+        def build():
+            vt = v_test if v_test is not None \
+                else TestFunction(self._space_v)
+            v_d = MixedFunction(self._space_v, self._n_t, dual=True,
+                                name="v_d")
+            true_v = MixedFunction(self._space_v, self._n_t, name="true_v")
+            for i, t in enumerate(self._times()):
+                v_d_i, true_v_i = self._desired_state(vt,
+                                                      Constant(float(t)))
+                v_d.sub(i).assign(assemble(v_d_i))
+                true_v.sub(i).assign(true_v_i)
+            return (v_d, true_v)
+
+        v_d, true_v = self._data_cache_get("v_d", key, build)
         self._true_v = true_v
         return v_d
 
@@ -676,7 +741,7 @@ class Instationary:
         return lambda solver, b, rev: solver.solve(b, reverse=rev)
 
     def _make_sweeps(self, space, mask, F_diag, F_sub, G_diag, G_sup, c, n,
-                     toeplitz_factors=None):
+                     toeplitz_factors=None, prebuilt=None):
         """Build the forward/backward Schur substitution solvers for the
         selected mode (see _sweep_fn); ParaDiag applies when both factors
         are Toeplitz (time-independent operator) -- either directly, or
@@ -696,15 +761,23 @@ class Instationary:
                 F_t = G_t = None
             if F_t is not None:
                 fwd = _ParaDiagSweep(space, mask, F_t, F_sub, n,
-                                     alpha=alpha)
+                                     alpha=alpha,
+                                     state=None if prebuilt is None
+                                     else prebuilt["fwd"])
                 bwd = _ParaDiagSweep(space, mask, G_t, G_sup, n,
-                                     alpha=alpha)
+                                     alpha=alpha,
+                                     state=None if prebuilt is None
+                                     else prebuilt["bwd"])
                 return fwd, bwd, (lambda solver, b, rev:
                                   solver.solve(b, reverse=rev))
         if mode in ("paradiag", "auto"):
             mode = "scan"
-        fwd = _SweepSolver(space, mask, F_diag, F_sub)
-        bwd = _SweepSolver(space, mask, G_diag, G_sup)
+        fwd = _SweepSolver(space, mask, F_diag, F_sub,
+                           state=None if prebuilt is None
+                           else prebuilt["fwd"])
+        bwd = _SweepSolver(space, mask, G_diag, G_sup,
+                           state=None if prebuilt is None
+                           else prebuilt["bwd"])
         return fwd, bwd, self._sweep_fn(c, n, mode=mode)
 
     def set_schur_sweep(self, mode, steps=None, paradiag_alpha=None):
@@ -717,14 +790,22 @@ class Instationary:
         self._paradiag_alpha = paradiag_alpha
 
     def construct_pc(self, Multigrid, lambda_v_bounds, mask, Dv_A, M,
-                     epsilon=None):
+                     epsilon=None, prebuilt=None):
         """The reference's CN/BE block preconditioner
         (control/control.py:1943-2440), with the (1,1) mass solves batched
-        over all time blocks and the Schur substitutions as lax.scan."""
+        over all time blocks and the Schur substitutions as lax.scan.
+
+        The returned closure carries a ``.state`` pytree of every numeric
+        array it derived (multigrid hierarchies, stencils, coarse
+        inverses).  Passing that pytree back via ``prebuilt=`` rebuilds an
+        identical pc without re-deriving the state -- solve kernels use
+        this to trace the pc with host-CPU-built state as an argument."""
         n_t, tau, beta = self._n_t, self._tau, self._beta
         sp = self._space_v
         M_A = M.A
-        solver_0 = mass_solver(M, mask, Multigrid, lambda_v_bounds)
+        solver_0 = mass_solver(M, mask, Multigrid, lambda_v_bounds,
+                               state=None if prebuilt is None
+                               else prebuilt["solver_0"])
         sh = Dv_A.shape[0] == 1
 
         def D(i):
@@ -755,7 +836,8 @@ class Instationary:
                 G_sup = (0.5 * tau
                          * jnp.swapaxes(Dv_A[1:n], -1, -2) - M_A + c * M_A)
             fwd, bwd, sweep = self._make_sweeps(sp, mask, F_diag, F_sub,
-                                                G_diag, G_sup, c, n)
+                                                G_diag, G_sup, c, n,
+                                                prebuilt=prebuilt)
             ap_diag = _fast_stack_applier(sp, d10_diag)
             ap_sub = _fast_stack_applier(sp, d10_sub)
             ap_M = _fast_stack_applier(sp, M_A[None])
@@ -784,6 +866,8 @@ class Instationary:
                 u_1 = sweep(bwd, b, True)
                 return u_0, u_1
 
+            pc_linear.state = {"solver_0": solver_0.state,
+                               "fwd": fwd.state, "bwd": bwd.state}
             return pc_linear
 
         # ---- backward Euler (reference control/control.py:2191-2438)
@@ -812,7 +896,8 @@ class Instationary:
         # diverge at small beta -- the zero first-row shift matters; BE
         # therefore always uses the exact row-dependent scan
         fwd, bwd, sweep = self._make_sweeps(sp, mask, F_diag, mM,
-                                            G_diag, mM, c, n)
+                                            G_diag, mM, c, n,
+                                            prebuilt=prebuilt)
         ap_diag = _fast_stack_applier(sp, d10_diag)
         ap_sub = _fast_stack_applier(sp, mM)
         ap_M = _fast_stack_applier(sp, M_A[None])
@@ -834,6 +919,8 @@ class Instationary:
             u_1 = sweep(bwd, b, True)
             return u_0, u_1
 
+        pc_linear.state = {"solver_0": solver_0.state,
+                           "fwd": fwd.state, "bwd": bwd.state}
         return pc_linear
 
     # ------------------------------------------------------------ rhs build
@@ -996,12 +1083,13 @@ class Instationary:
         def builder():
             sp_params = dict(solver_parameters)
 
-            def core(Dv_A, b_0, b_1, u_0, u_1):
+            def solve_with(Dv_A, pc_state, b_0, b_1, u_0, u_1):
                 M_t = LocalOp(M.A, space_v, space_v)
                 b00, b01, b10, b11, _ = self._blocks(Dv_A, M=M_t)
                 pc_fn = (self.construct_pc(Multigrid, lambda_v_bounds,
                                            mask, Dv_A, M_t,
-                                           epsilon=epsilon)
+                                           epsilon=epsilon,
+                                           prebuilt=pc_state)
                          if P is None else P)
                 system = MultiBlockSystem(
                     space_v, space_v,
@@ -1014,15 +1102,46 @@ class Instationary:
                                         pc_fn=pc_fn)
                 return solve(u_0, u_1, b_0, b_1)
 
-            return core
+            if P is not None:
+                return lambda Dv_A, b_0, b_1, u_0, u_1: solve_with(
+                    Dv_A, None, b_0, b_1, u_0, u_1)
+            return solve_with
 
+        # pc numeric state (hierarchies, stencils, coarse inverses) is
+        # derived eagerly on the HOST and passed to the kernel as an
+        # ARGUMENT: in-trace derivation on TPU both bakes it into the
+        # executable as huge constants (the axon AOT proto overflows) and
+        # loses accuracy (the f32 TPU dense coarse inverse is amplified
+        # 1/alpha by the ParaDiag unscaling, stalling the outer solve)
+        pc_state = None
+        if P is None:
+            # cached per linearisation state: repeat solves (and the
+            # common Picard pattern of a final re-solve at the converged
+            # state) skip the host hierarchy rebuild
+            if not hasattr(self, "_pc_state_cache"):
+                self._pc_state_cache = {}
+            tok = (key, array_token(Dv_A))
+            pc_state = self._pc_state_cache.get(tok)
+            if pc_state is None:
+                if len(self._pc_state_cache) > 4:
+                    self._pc_state_cache.clear()
+                from .common import to_device
+                pc_state = to_device(
+                    self.construct_pc(Multigrid, lambda_v_bounds,
+                                      mask, Dv_A, M,
+                                      epsilon=epsilon).state)
+                self._pc_state_cache[tok] = pc_state
         kernel = self._kernel_cache.get(key, builder,
                                         pin=(P, space_v, M))
         _hs.close()
         # zero initial guesses as ARGUMENTS: in-trace zero constants make
         # XLA constant-fold whole operator applications at compile time
         z_0, z_1 = jnp.zeros_like(b_0), jnp.zeros_like(b_1)
-        u0, u1, info_d = run_kernel(kernel, Dv_A, b_0, b_1, z_0, z_1)
+        if P is None:
+            u0, u1, info_d = run_kernel(kernel, Dv_A, pc_state, b_0, b_1,
+                                        z_0, z_1)
+        else:
+            u0, u1, info_d = run_kernel(kernel, Dv_A, b_0, b_1, z_0, z_1)
         info = finalize_solve_info(info_d, solver_parameters)
         v = MixedFunction(space_v, n_blocks, name="v", data=u0)
         zeta = MixedFunction(space_v, n_blocks, name="zeta", data=u1)
@@ -1469,7 +1588,7 @@ class Instationary:
                None if P is None else id(P), id(nullspace_p),
                id(space_v), id(space_p))
 
-        def make_pieces(Dv_A, Dp_A, M_t):
+        def make_pieces(Dv_A, Dp_A, M_t, pc_state=None):
             b00, b01, b10, b11, _ = self._incompressible_blocks(
                 Dv_A, B, B_T, M=M_t)
             system = MultiBlockSystem(
@@ -1496,7 +1615,8 @@ class Instationary:
                 CN=self._CN)
             inner_pc = self.construct_pc(
                 Multigrid, lambda_v_bounds, mask, Dv_A, M_t,
-                epsilon=epsilon)
+                epsilon=epsilon,
+                prebuilt=None if pc_state is None else pc_state["inner"])
             # the reference fixes 5 inner iterations
             # (control/control.py:4355-4361); for BE that leaves the
             # eps-regularised final-block error modes unresolved and the
@@ -1518,9 +1638,13 @@ class Instationary:
                 pc_fn=inner_pc)
 
             K_p = assemble(inner(grad(p_trial), grad(p_test)) * dx)
-            solver_K_p = BlockSolver(K_p, None, ("mg", 1))
+            solver_K_p = BlockSolver(K_p, None, ("mg", 1),
+                                     state=None if pc_state is None
+                                     else pc_state["K_p"])
             p00, p01, p10, p11, M_p = self._p_kkt_dicts(Dp_A)
-            solver_M_p = mass_solver(M_p, None, False, lambda_p_bounds)
+            solver_M_p = mass_solver(M_p, None, False, lambda_p_bounds,
+                                     state=None if pc_state is None
+                                     else pc_state["M_p"])
             act_00 = BlockAction(p00, n, n, space_p, space_p)
             act_01 = BlockAction(p01, n, n, space_p, space_p)
             act_10 = BlockAction(p10, n, n, space_p, space_p)
@@ -1549,6 +1673,9 @@ class Instationary:
                 u11 = solver_M_p(c1)
                 return u_0, jnp.concatenate([u10, u11])
 
+            pc_fn.state = {"inner": inner_pc.state,
+                           "K_p": solver_K_p.state,
+                           "M_p": solver_M_p.state}
             return system, pc_fn
 
         # the single fused-program solve of large incompressible
@@ -1583,9 +1710,10 @@ class Instationary:
             def builder():
                 sp_params = dict(solver_parameters)
 
-                def core(Dv_A, Dp_A, b_0, b_1, u_0i, u_1i):
+                def core(Dv_A, Dp_A, pc_state, b_0, b_1, u_0i, u_1i):
                     M_t = LocalOp(M.A, space_v, space_v)
-                    system, pc_fn = make_pieces(Dv_A, Dp_A, M_t)
+                    system, pc_fn = make_pieces(Dv_A, Dp_A, M_t,
+                                                pc_state=pc_state)
                     solve = system.solve_fn(solver_parameters=sp_params,
                                             pc_fn=pc_fn)
                     return solve(u_0i, u_1i, b_0, b_1)
@@ -1593,17 +1721,32 @@ class Instationary:
                 if P is not None:
                     # no pressure-operator argument with a user pc
                     return lambda Dv_A, b_0, b_1, u_0i, u_1i: core(
-                        Dv_A, None, b_0, b_1, u_0i, u_1i)
+                        Dv_A, None, None, b_0, b_1, u_0i, u_1i)
                 return core
 
+            pc_state = None
+            if P is None:
+                # host-derived pc numeric state as a kernel argument (see
+                # linear_solve), cached per linearisation state
+                if not hasattr(self, "_pc_state_cache"):
+                    self._pc_state_cache = {}
+                tok = (key, array_token(Dv_A), array_token(Dp_A))
+                pc_state = self._pc_state_cache.get(tok)
+                if pc_state is None:
+                    if len(self._pc_state_cache) > 4:
+                        self._pc_state_cache.clear()
+                    from .common import to_device
+                    pc_state = to_device(make_pieces(Dv_A, Dp_A,
+                                                     M)[1].state)
+                    self._pc_state_cache[tok] = pc_state
             kernel = self._kernel_cache.get(
                 key, builder,
                 pin=(P, nullspace_p, space_v, space_p, M, B, B_T))
             _hs.close()
             z_0, z_1 = jnp.zeros_like(b_0), jnp.zeros_like(b_1)
             if P is None:
-                u0, u1, info_d = run_kernel(kernel, Dv_A, Dp_A, b_0, b_1,
-                                            z_0, z_1)
+                u0, u1, info_d = run_kernel(kernel, Dv_A, Dp_A, pc_state,
+                                            b_0, b_1, z_0, z_1)
             else:
                 u0, u1, info_d = run_kernel(kernel, Dv_A, b_0, b_1,
                                             z_0, z_1)

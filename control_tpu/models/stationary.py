@@ -224,14 +224,24 @@ class Stationary:
 
     # ------------------------------------------------------- preconditioner
     def construct_pc(self, Multigrid, lambda_v_bounds, mask_v, mask_zeta,
-                     D_v, D_zeta, M_v):
+                     D_v, D_zeta, M_v, prebuilt=None):
         """Block-triangular matching-Schur preconditioner
-        (reference control/control.py:351-450)."""
+        (reference control/control.py:351-450).  The returned closure
+        carries a ``.state`` pytree of its derived numeric state; pass it
+        back via ``prebuilt=`` to rebuild the pc inside a trace with the
+        state as an argument (see instationary.construct_pc)."""
         beta = self._beta
         shift = 1.0 / beta ** 0.5
-        solver_0 = mass_solver(M_v, mask_v, Multigrid, lambda_v_bounds)
-        solver_1 = BlockSolver(D_v + shift * M_v, mask_zeta, ("mg", 2))
-        solver_2 = BlockSolver(D_zeta + shift * M_v, mask_zeta, ("mg", 2))
+
+        def pb(k):
+            return None if prebuilt is None else prebuilt[k]
+
+        solver_0 = mass_solver(M_v, mask_v, Multigrid, lambda_v_bounds,
+                               state=pb("solver_0"))
+        solver_1 = BlockSolver(D_v + shift * M_v, mask_zeta, ("mg", 2),
+                               state=pb("solver_1"))
+        solver_2 = BlockSolver(D_zeta + shift * M_v, mask_zeta, ("mg", 2),
+                               state=pb("solver_2"))
 
         def pc_linear(b_0, b_1):
             u_0 = solver_0(b_0)
@@ -242,6 +252,9 @@ class Stationary:
             u_1 = solver_2(b)
             return u_0, u_1
 
+        pc_linear.state = {"solver_0": solver_0.state,
+                           "solver_1": solver_1.state,
+                           "solver_2": solver_2.state}
         return pc_linear
 
     # ---------------------------------------------------------- linear solve
@@ -297,7 +310,7 @@ class Stationary:
         def builder():
             sp_params = dict(solver_parameters)
 
-            def core(Dv_A, b_0, b_1, u_0, u_1):
+            def core(Dv_A, pc_state, b_0, b_1, u_0, u_1):
                 D_v_t = LocalOp(Dv_A, space_v, space_v)
                 D_zeta_t = D_v_t.T
                 M_v_t = LocalOp(M_v.A, space_v, space_v)
@@ -306,7 +319,7 @@ class Stationary:
                 else:
                     pc_fn1 = self.construct_pc(
                         Multigrid, lambda_v_bounds, mask, mask,
-                        D_v_t, D_zeta_t, M_v_t)
+                        D_v_t, D_zeta_t, M_v_t, prebuilt=pc_state)
 
                     def pc_fn(b0, b1):
                         u0, u1 = pc_fn1(b0[0], b1[0])
@@ -327,11 +340,27 @@ class Stationary:
 
             return core
 
+        pc_state = None
+        if P is None:
+            # host-derived pc numeric state as a kernel argument (see
+            # instationary.linear_solve), cached per linearisation state
+            if not hasattr(self, "_pc_state_cache"):
+                self._pc_state_cache = {}
+            tok = (key, array_token(D_v.A))
+            pc_state = self._pc_state_cache.get(tok)
+            if pc_state is None:
+                if len(self._pc_state_cache) > 4:
+                    self._pc_state_cache.clear()
+                from .common import to_device
+                pc_state = to_device(
+                    self.construct_pc(Multigrid, lambda_v_bounds,
+                                      mask, mask, D_v, D_v.T, M_v).state)
+                self._pc_state_cache[tok] = pc_state
         kernel = self._kernel_cache.get(key, builder,
                                         pin=(P, space_v, M_v, M_zeta))
         _hs.close()
         b0s, b1s = v_d.data[None], f.data[None]
-        u0, u1, info_d = run_kernel(kernel, D_v.A, b0s, b1s,
+        u0, u1, info_d = run_kernel(kernel, D_v.A, pc_state, b0s, b1s,
                                     jnp.zeros_like(b0s),
                                     jnp.zeros_like(b1s))
         info = finalize_solve_info(info_d, solver_parameters)
@@ -553,7 +582,7 @@ class Stationary:
         M_mu_base = (assemble(self._M_mu) if self._M_mu is not None
                      else M_p)
 
-        def make_pieces(Dv_A, Dp_A, M_v_t, M_zeta_t):
+        def make_pieces(Dv_A, Dp_A, M_v_t, M_zeta_t, pc_state=None):
                 D_v_t = LocalOp(Dv_A, space_v, space_v)
                 D_zeta_t = D_v_t.T
                 system = MultiBlockSystem(
@@ -580,7 +609,9 @@ class Stationary:
                         nullspace_1=(nullspace_zeta,))
                     inner_pc1 = self.construct_pc(
                         Multigrid, lambda_v_bounds, mask, mask,
-                        D_v_t, D_zeta_t, M_v_t)
+                        D_v_t, D_zeta_t, M_v_t,
+                        prebuilt=None if pc_state is None
+                        else pc_state["inner"])
 
                     def inner_pc(b0, b1):
                         u0, u1 = inner_pc1(b0[0], b1[0])
@@ -595,9 +626,13 @@ class Stationary:
                                            "gmres_restart": 30},
                         pc_fn=inner_pc)
 
-                    solver_K_p = BlockSolver(K_p, None, ("mg", 1))
+                    solver_K_p = BlockSolver(K_p, None, ("mg", 1),
+                                             state=None if pc_state is None
+                                             else pc_state["K_p"])
                     solver_M_p = mass_solver(M_p, None, False,
-                                             lambda_p_bounds)
+                                             lambda_p_bounds,
+                                             state=None if pc_state is None
+                                             else pc_state["M_p"])
                     D_p_t = LocalOp(Dp_A, space_p, space_p)
                     D_mu_t = D_p_t.T
                     M_mu_op = -(1.0 / beta) * M_mu_base
@@ -619,6 +654,9 @@ class Stationary:
                         u11 = solver_M_p(c1)
                         return u_0, jnp.stack([u10, u11])
 
+                pc_fn.state = {"inner": inner_pc1.state,
+                               "K_p": solver_K_p.state,
+                               "M_p": solver_M_p.state}
                 return system, pc_fn
 
         M_zeta_op_A = assemble(self._M_zeta).A
@@ -658,21 +696,40 @@ class Stationary:
             def builder():
                 sp_params = dict(solver_parameters)
 
-                def core(Dv_A, Dp_A, b_0, b_1, u_0i, u_1i):
+                def core(Dv_A, Dp_A, pc_state, b_0, b_1, u_0i, u_1i):
                     M_v_t = LocalOp(M_v.A, space_v, space_v)
                     M_zeta_t = -(1.0 / beta) * LocalOp(M_zeta_op_A,
                                                        space_v, space_v)
                     system, pc_fn = make_pieces(Dv_A, Dp_A, M_v_t,
-                                                M_zeta_t)
+                                                M_zeta_t,
+                                                pc_state=pc_state)
                     solve = system.solve_fn(solver_parameters=sp_params,
                                             pc_fn=pc_fn)
                     return solve(u_0i, u_1i, b_0, b_1)
 
                 if P is not None:
                     return lambda Dv_A, b_0, b_1, u_0i, u_1i: core(
-                        Dv_A, None, b_0, b_1, u_0i, u_1i)
+                        Dv_A, None, None, b_0, b_1, u_0i, u_1i)
                 return core
 
+            pc_state = None
+            if P is None:
+                # host-derived pc numeric state as a kernel argument,
+                # cached per linearisation state
+                if not hasattr(self, "_pc_state_cache"):
+                    self._pc_state_cache = {}
+                tok = (key, array_token(D_v.A), array_token(D_p.A))
+                pc_state = self._pc_state_cache.get(tok)
+                if pc_state is None:
+                    if len(self._pc_state_cache) > 4:
+                        self._pc_state_cache.clear()
+                    M_v_c = LocalOp(M_v.A, space_v, space_v)
+                    M_zeta_c = -(1.0 / beta) * LocalOp(M_zeta_op_A,
+                                                       space_v, space_v)
+                    from .common import to_device
+                    pc_state = to_device(make_pieces(D_v.A, D_p.A, M_v_c,
+                                                     M_zeta_c)[1].state)
+                    self._pc_state_cache[tok] = pc_state
             kernel = self._kernel_cache.get(
                 key, builder,
                 pin=(P, nullspace_p, space_v, space_p, M_v, B, B_T,
@@ -680,8 +737,8 @@ class Stationary:
             _hs.close()
             z_0, z_1 = jnp.zeros_like(b_0), jnp.zeros_like(b_1)
             if P is None:
-                u0, u1, info_d = run_kernel(kernel, D_v.A, D_p.A, b_0,
-                                            b_1, z_0, z_1)
+                u0, u1, info_d = run_kernel(kernel, D_v.A, D_p.A, pc_state,
+                                            b_0, b_1, z_0, z_1)
             else:
                 u0, u1, info_d = run_kernel(kernel, D_v.A, b_0, b_1,
                                             z_0, z_1)
