@@ -243,12 +243,22 @@ class _ParaDiagSweep:
     accurate than the block preconditioner it lives in."""
 
     def __init__(self, space, mask, diag_A, sub_A, n, alpha=None,
-                 cycles=2, state=None):
+                 cycles=2, state=None, defect_steps=1):
         if diag_A.shape[0] != 1:
             raise ValueError("ParaDiag requires a Toeplitz (time-"
                              "independent) sweep factor")
         self.space, self.mask = space, mask
         self.cycles, self.n = cycles, n
+        # defect correction around the alpha-circulant solve: the error
+        # operator E of one application is ~1e-3 on average but its norm
+        # concentrates on the stiffest spatial modes -- exactly where an
+        # outer Krylov method drives its residuals (observed: the f32
+        # 256^2x64 heat solve goes 9 -> 32+ outer iterations without
+        # correction, and stalls outright on TPU).  One correction step
+        #   u <- u + P(b - L u)
+        # squares the worst-case error (and drops the f32 noise floor by
+        # the residual ratio) for 2x the batched-V-cycle work.
+        self.defect_steps = defect_steps
         rdtype = diag_A.dtype
         if alpha is None:
             alpha = 1e-3
@@ -276,10 +286,21 @@ class _ParaDiagSweep:
             S = jnp.broadcast_to(sub_A[0], diag_A.shape[1:]).astype(cdtype)
             A_k = F[None] + mu[:, None, None, None] * S[None]
             self.params = jax.vmap(self.config.build)(A_k)
+            # exact bidiagonal factor stencils for the defect correction
+            # (masked rows: identity on the diagonal factor, zero on the
+            # sub-diagonal)
+            from ..ops.stencil import node_stencil
+            self._wF = node_stencil(diag_A[0], space, mask=mask)
+            self._wS = node_stencil(
+                jnp.broadcast_to(sub_A[0], diag_A.shape[1:]), space,
+                mask=mask, alpha=0.0)
         else:
             self.params = decode_complex(state["params"])
+            self._wF = state["wF"]
+            self._wS = state["wS"]
         # complex leaves transfer to the accelerator as (re, im) pairs
-        self.state = {"params": encode_complex(self.params)}
+        self.state = {"params": encode_complex(self.params),
+                      "wF": self._wF, "wS": self._wS}
         # time-axis DFT as explicit MXU matmuls (precision HIGHEST), not
         # jnp.fft: the TPU f32 FFT's rounding error is amplified by the
         # 1/alpha unscaling and destroys the sweep; a small dense DFT at
@@ -295,16 +316,10 @@ class _ParaDiagSweep:
         self._Wf = jnp.asarray(Wf, cdtype)
         self._Wb = jnp.asarray(Wb, cdtype)
 
-    def solve(self, b, reverse=False):
+    def _circulant_solve(self, b):
+        """One alpha-circulant solve in the forward (lower-bidiagonal)
+        frame; b is already bc-zeroed."""
         n = self.n
-        mk = self.mask[None] if self.mask is not None else None
-        if self.trivial:
-            u = self.config.apply(self.params, zero_rows(mk, b),
-                                  cycles=self.cycles)
-            return u
-        if reverse:
-            b = b[::-1]
-        b = zero_rows(mk, b)
         j = (jnp.arange(n) / n).astype(b.dtype)
         scale = (self.alpha ** j).reshape((n,) + (1,) * (b.ndim - 1))
         g = (b * scale).astype(self._Wf.dtype)
@@ -315,7 +330,29 @@ class _ParaDiagSweep:
         )(self.params, ghat)
         u = jnp.real(jnp.einsum("jk,k...->j...", self._Wb, what,
                                 precision=jax.lax.Precision.HIGHEST))
-        u = u.astype(b.dtype) / scale
+        return u.astype(b.dtype) / scale
+
+    def _factor_apply(self, u):
+        """Exact y_i = F u_i + S u_{i-1} (bc rows: identity)."""
+        from ..ops.stencil import apply_stencil
+        d = self.space.degree
+        y = apply_stencil(self._wF, u, d)
+        y = y.at[1:].add(apply_stencil(self._wS, u[:-1], d))
+        return y
+
+    def solve(self, b, reverse=False):
+        mk = self.mask[None] if self.mask is not None else None
+        if self.trivial:
+            u = self.config.apply(self.params, zero_rows(mk, b),
+                                  cycles=self.cycles)
+            return u
+        if reverse:
+            b = b[::-1]
+        b = zero_rows(mk, b)
+        u = self._circulant_solve(b)
+        for _ in range(self.defect_steps):
+            r = b - self._factor_apply(u)
+            u = u + self._circulant_solve(r)
         u = zero_rows(mk, u)
         return u[::-1] if reverse else u
 
@@ -760,12 +797,13 @@ class Instationary:
             else:
                 F_t = G_t = None
             if F_t is not None:
+                dc = getattr(self, "_paradiag_dc", 1)
                 fwd = _ParaDiagSweep(space, mask, F_t, F_sub, n,
-                                     alpha=alpha,
+                                     alpha=alpha, defect_steps=dc,
                                      state=None if prebuilt is None
                                      else prebuilt["fwd"])
                 bwd = _ParaDiagSweep(space, mask, G_t, G_sup, n,
-                                     alpha=alpha,
+                                     alpha=alpha, defect_steps=dc,
                                      state=None if prebuilt is None
                                      else prebuilt["bwd"])
                 return fwd, bwd, (lambda solver, b, rev:
@@ -780,14 +818,17 @@ class Instationary:
                            else prebuilt["bwd"])
         return fwd, bwd, self._sweep_fn(c, n, mode=mode)
 
-    def set_schur_sweep(self, mode, steps=None, paradiag_alpha=None):
+    def set_schur_sweep(self, mode, steps=None, paradiag_alpha=None,
+                        paradiag_defect_steps=None):
         """Select the Schur substitution strategy ("scan" | "jacobi" |
-        "paradiag" | "auto"), optionally fixing the Jacobi step count or
-        the ParaDiag circulant parameter alpha (default: sqrt(machine
-        eps))."""
+        "paradiag" | "auto"), optionally fixing the Jacobi step count,
+        the ParaDiag circulant parameter alpha, or the number of
+        ParaDiag defect-correction steps (default 1)."""
         self._schur_mode = mode
         self._schur_jacobi_steps = steps
         self._paradiag_alpha = paradiag_alpha
+        if paradiag_defect_steps is not None:
+            self._paradiag_dc = paradiag_defect_steps
 
     def construct_pc(self, Multigrid, lambda_v_bounds, mask, Dv_A, M,
                      epsilon=None, prebuilt=None):
@@ -1077,6 +1118,7 @@ class Instationary:
                getattr(self, "_schur_mode", "scan"),
                getattr(self, "_schur_jacobi_steps", None),
                getattr(self, "_paradiag_alpha", None),
+               getattr(self, "_paradiag_dc", 1),
                getattr(self, "_be_epsilon", 1.0e-3),
                None if P is None else id(P), id(space_v))
 
@@ -1582,6 +1624,7 @@ class Instationary:
                getattr(self, "_schur_mode", "scan"),
                getattr(self, "_schur_jacobi_steps", None),
                getattr(self, "_paradiag_alpha", None),
+               getattr(self, "_paradiag_dc", 1),
                getattr(self, "_be_epsilon", 1.0e-3),
                getattr(self, "_inner_pc_iterations",
                        5 if self._CN else 15),

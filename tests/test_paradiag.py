@@ -55,6 +55,37 @@ def test_alpha_circulant_exactness():
     assert rel_r < 1e-6, rel_r
 
 
+def test_defect_correction_squares_error():
+    """One defect-correction step around the alpha-circulant solve drops
+    the O(alpha) truncation error to ~O(alpha^2): at alpha=1e-3 the
+    corrected sweep must be >=100x closer to the exact substitution."""
+    mesh = UnitSquareMesh(6, 6, quadrilateral=True)
+    space = FunctionSpace(mesh, "Lagrange", 1)
+    u, v = TrialFunction(space), TestFunction(space)
+    bc = DirichletBC(space, 0.0, "on_boundary")
+    mask = combine_masks(space, (bc,))
+    K = assemble(inner(grad(u), grad(v)) * dx).A
+    M = assemble(inner(u, v) * dx).A
+    F = (0.05 * K + 2.5 * M)[None]
+    S = (0.05 * K - 0.4 * M)[None]
+    n = 9
+    rng = np.random.default_rng(7)
+    b = jnp.asarray(rng.standard_normal((n,) + space.grid_shape))
+    b = jnp.where(mask[None], 0.0, b)
+
+    u_exact = _SweepSolver(space, mask, F, S).solve(b)
+
+    def rel(defect_steps):
+        para = _ParaDiagSweep(space, mask, F, S, n, alpha=1e-3,
+                              defect_steps=defect_steps)
+        u_p = para.solve(b)
+        return float(jnp.linalg.norm((u_exact - u_p).ravel())
+                     / jnp.linalg.norm(u_exact.ravel()))
+
+    err0, err1 = rel(0), rel(1)
+    assert err1 < 1e-2 * err0, (err0, err1)
+
+
 def _heat(n=32, n_t=16, beta=1e-4):
     mesh = UnitSquareMesh(n, n, quadrilateral=True)
     space = FunctionSpace(mesh, "Lagrange", 1)
