@@ -798,12 +798,15 @@ class Instationary:
                 F_t = G_t = None
             if F_t is not None:
                 dc = getattr(self, "_paradiag_dc", 1)
+                cyc = getattr(self, "_paradiag_cycles", 2)
                 fwd = _ParaDiagSweep(space, mask, F_t, F_sub, n,
                                      alpha=alpha, defect_steps=dc,
+                                     cycles=cyc,
                                      state=None if prebuilt is None
                                      else prebuilt["fwd"])
                 bwd = _ParaDiagSweep(space, mask, G_t, G_sup, n,
                                      alpha=alpha, defect_steps=dc,
+                                     cycles=cyc,
                                      state=None if prebuilt is None
                                      else prebuilt["bwd"])
                 return fwd, bwd, (lambda solver, b, rev:
@@ -819,16 +822,19 @@ class Instationary:
         return fwd, bwd, self._sweep_fn(c, n, mode=mode)
 
     def set_schur_sweep(self, mode, steps=None, paradiag_alpha=None,
-                        paradiag_defect_steps=None):
+                        paradiag_defect_steps=None, paradiag_cycles=None):
         """Select the Schur substitution strategy ("scan" | "jacobi" |
         "paradiag" | "auto"), optionally fixing the Jacobi step count,
-        the ParaDiag circulant parameter alpha, or the number of
-        ParaDiag defect-correction steps (default 1)."""
+        the ParaDiag circulant parameter alpha, the number of ParaDiag
+        defect-correction steps (default 1), or the V-cycle count of the
+        per-frequency solves (default 2)."""
         self._schur_mode = mode
         self._schur_jacobi_steps = steps
         self._paradiag_alpha = paradiag_alpha
         if paradiag_defect_steps is not None:
             self._paradiag_dc = paradiag_defect_steps
+        if paradiag_cycles is not None:
+            self._paradiag_cycles = paradiag_cycles
 
     def construct_pc(self, Multigrid, lambda_v_bounds, mask, Dv_A, M,
                      epsilon=None, prebuilt=None):
@@ -1119,6 +1125,7 @@ class Instationary:
                getattr(self, "_schur_jacobi_steps", None),
                getattr(self, "_paradiag_alpha", None),
                getattr(self, "_paradiag_dc", 1),
+               getattr(self, "_paradiag_cycles", 2),
                getattr(self, "_be_epsilon", 1.0e-3),
                None if P is None else id(P), id(space_v))
 
@@ -1625,6 +1632,7 @@ class Instationary:
                getattr(self, "_schur_jacobi_steps", None),
                getattr(self, "_paradiag_alpha", None),
                getattr(self, "_paradiag_dc", 1),
+               getattr(self, "_paradiag_cycles", 2),
                getattr(self, "_be_epsilon", 1.0e-3),
                getattr(self, "_inner_pc_iterations",
                        5 if self._CN else 15),
