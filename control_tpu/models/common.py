@@ -115,19 +115,54 @@ def to_device(tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, dev), tree)
 
 
+# per-call timing split of the last run_kernel invocation (seconds):
+# {"h2d_s": input placement, "kernel_s": device execution (hard-synced
+# through a small-leaf host copy -- block_until_ready can return early on
+# the tunneled axon backend), "d2h_s": output transfer}.  bench.py reads
+# this to separate device solve time from tunnel transfer overhead.
+LAST_TIMING = {}
+
+
+def device_zeros_like(x):
+    """Zero initial guesses allocated directly ON the accelerator: they are
+    kernel arguments (in-trace zero constants make XLA constant-fold whole
+    operator applications), but materialising them on the host would push
+    tens of MB of zeros through the transfer tunnel every solve."""
+    dev = jax.devices()[0]
+    return jnp.zeros_like(x, device=dev)
+
+
 def run_kernel(fn, *args):
     """Run a jitted solve kernel with inputs placed on the accelerator and
     outputs brought back to the host, so surrounding eager setup stays on
     the host device (see host_setup)."""
+    import time
     on_accel = jax.default_backend() != "cpu"
+    LAST_TIMING.clear()
     if on_accel:
         dev = jax.devices()[0]
+        t0 = time.time()
         args = tuple(jax.device_put(a, dev) for a in args)
+        args = jax.block_until_ready(args)
+        LAST_TIMING["h2d_s"] = time.time() - t0
+    t0 = time.time()
     out = fn(*args)
     if on_accel:
+        out = jax.block_until_ready(out)
+        leaves = jax.tree_util.tree_leaves(out)
+        if leaves:
+            small = min(leaves, key=lambda x: getattr(x, "size", 1))
+            np.asarray(small)
+        LAST_TIMING["kernel_s"] = time.time() - t0
+        t0 = time.time()
         host = jax.devices("cpu")[0]
         out = jax.tree_util.tree_map(lambda x: jax.device_put(x, host),
                                      out)
+        out = jax.block_until_ready(out)
+        LAST_TIMING["d2h_s"] = time.time() - t0
+    else:
+        out = jax.block_until_ready(out)
+        LAST_TIMING["kernel_s"] = time.time() - t0
     return out
 
 

@@ -325,9 +325,11 @@ class _ParaDiagSweep:
         g = (b * scale).astype(self._Wf.dtype)
         ghat = jnp.einsum("kj,j...->k...", self._Wf, g,
                           precision=jax.lax.Precision.HIGHEST)
-        what = jax.vmap(
-            lambda p, gk: self.config.apply(p, gk, cycles=self.cycles)
-        )(self.params, ghat)
+        # one batched multi-V-cycle over all frequencies (MGConfig.apply
+        # broadcasts over the leading hierarchy/rhs batch axis): the fused
+        # complex smoothing kernel sees the whole (n_f, ny, nx) batch, and
+        # the HLO stays vmap-free
+        what = self.config.apply(self.params, ghat, cycles=self.cycles)
         u = jnp.real(jnp.einsum("jk,k...->j...", self._Wb, what,
                                 precision=jax.lax.Precision.HIGHEST))
         return u.astype(b.dtype) / scale
@@ -1115,7 +1117,8 @@ class Instationary:
         # build and the Krylov loop are all traced as a function of the
         # linearisation state Dv_A, so Picard / Gauss-Newton iterations and
         # repeated same-shape solves reuse one compiled executable
-        from .common import array_token, params_token, run_kernel
+        from .common import (array_token, params_token, run_kernel,
+                             device_zeros_like)
         from ..solvers.block import finalize_solve_info
         key = ("linear", self._n_t, self._CN, self._beta,
                self._time_interval, Multigrid,
@@ -1185,7 +1188,7 @@ class Instationary:
         _hs.close()
         # zero initial guesses as ARGUMENTS: in-trace zero constants make
         # XLA constant-fold whole operator applications at compile time
-        z_0, z_1 = jnp.zeros_like(b_0), jnp.zeros_like(b_1)
+        z_0, z_1 = device_zeros_like(b_0), device_zeros_like(b_1)
         if P is None:
             u0, u1, info_d = run_kernel(kernel, Dv_A, pc_state, b_0, b_1,
                                         z_0, z_1)
@@ -1621,7 +1624,8 @@ class Instationary:
 
         Dp_A = self._D_p_stack(self._v.data) if P is None else None
 
-        from .common import array_token, params_token, run_kernel
+        from .common import (array_token, params_token, run_kernel,
+                             device_zeros_like)
         from ..solvers.block import finalize_solve_info
         key = ("incompressible", self._n_t, self._CN, self._beta,
                self._time_interval, Multigrid,
@@ -1794,7 +1798,7 @@ class Instationary:
                 key, builder,
                 pin=(P, nullspace_p, space_v, space_p, M, B, B_T))
             _hs.close()
-            z_0, z_1 = jnp.zeros_like(b_0), jnp.zeros_like(b_1)
+            z_0, z_1 = device_zeros_like(b_0), device_zeros_like(b_1)
             if P is None:
                 u0, u1, info_d = run_kernel(kernel, Dv_A, Dp_A, pc_state,
                                             b_0, b_1, z_0, z_1)

@@ -299,7 +299,8 @@ class Stationary:
         # cached end-to-end kernel (see instationary.linear_solve): the
         # linearisation state D_v and the rhs are kernel arguments, so
         # Picard / Gauss-Newton iterations reuse one compiled executable
-        from .common import array_token, params_token, run_kernel
+        from .common import (array_token, params_token, run_kernel,
+                             device_zeros_like)
         from ..solvers.block import finalize_solve_info
         M_zeta = assemble(self._M_zeta)
         key = ("linear", self._beta, Multigrid,
@@ -567,7 +568,8 @@ class Stationary:
             D_p = trial_linearized_operator(
                 self._forward_form, space_p, v_old)
 
-        from .common import array_token, params_token, run_kernel
+        from .common import (array_token, params_token, run_kernel,
+                             device_zeros_like)
         from ..solvers.block import finalize_solve_info
         key = ("incompressible", self._beta, Multigrid,
                None if lambda_v_bounds is None else tuple(lambda_v_bounds),
@@ -735,7 +737,7 @@ class Stationary:
                 pin=(P, nullspace_p, space_v, space_p, M_v, B, B_T,
                      K_p, M_p))
             _hs.close()
-            z_0, z_1 = jnp.zeros_like(b_0), jnp.zeros_like(b_1)
+            z_0, z_1 = device_zeros_like(b_0), device_zeros_like(b_1)
             if P is None:
                 u0, u1, info_d = run_kernel(kernel, D_v.A, D_p.A, pc_state,
                                             b_0, b_1, z_0, z_1)

@@ -215,6 +215,25 @@ def _vmem_ok(degree, ny, nx, dtype):
     return bytes_needed < 12 * 1024 * 1024
 
 
+# Mosaic's default scoped-VMEM budget is 16 MB but the physical VMEM is
+# larger; kernels that declare their need via vmem_limit_bytes can use it
+_VMEM_BUDGET = 100 * 2**20
+
+
+def _padded_plane_bytes(ny, nx, rdtype):
+    """VMEM bytes of one (ny, nx) plane after (8, 128) tile padding."""
+    return (-(-ny // 8) * 8) * (-(-nx // 128) * 128) \
+        * jnp.dtype(rdtype).itemsize
+
+
+def _vmem_ok_complex(degree, ny, nx, rdtype):
+    # re/im weight planes + 6 field inputs + 4 outputs (double-buffered
+    # by the pipeline) + 2 scratch pads
+    K = (2 * degree + 1) ** 2
+    planes = 2 * (2 * K) + 2 * 6 + 2 * 4 + 2
+    return planes * _padded_plane_bytes(ny, nx, rdtype) < _VMEM_BUDGET
+
+
 def apply_stencil(w, x, degree, use_pallas=None):
     """y = stencil(w) @ x.
 
@@ -249,36 +268,58 @@ def apply_stencil(w, x, degree, use_pallas=None):
     return y if x.ndim == 3 else y[0]
 
 
+def _expand_bound(s, b):
+    """Reshape a scalar or per-batch (n,) Chebyshev bound so it broadcasts
+    against fields shaped (n, ny, nx) / (ny, nx)."""
+    s = jnp.asarray(s)
+    if s.ndim == 0:
+        return s
+    return s.reshape(s.shape + (1,) * (b.ndim - s.ndim))
+
+
 def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
-                      want_residual=False, use_pallas=None):
+                      want_residual=False, use_pallas=None,
+                      interpret=False):
     """``steps`` Chebyshev-Jacobi smoothing iterations (+ optionally the
     final residual) as ONE fused kernel on TPU.
 
     w: (K, ny, nx) or (n, K, ny, nx); dinv/b/x0: (ny, nx) or (n, ny, nx);
-    theta/delta: scalars (traced ok).  Returns x (and r = b - A x).
+    theta/delta: scalars or per-batch (n,) vectors (traced ok).  Complex
+    operators (the ParaDiag frequency blocks) run as a re/im-pair Pallas
+    kernel.  Returns x (and r = b - A x).
     """
     d = degree
     if _is_vector_stencil(w, b):
         use_pallas = False
     ny, nx = b.shape[-2:]
+    is_complex = jnp.iscomplexobj(b)
     if use_pallas is None:
         try:
             platform = next(iter(b.devices())).platform
         except Exception:
             platform = jax.default_backend()
-        use_pallas = (platform == "tpu" and _pallas_enabled()
-                      and not jnp.iscomplexobj(b)
-                      and _vmem_ok(degree, ny, nx, b.dtype))
+        vmem = (_vmem_ok_complex(degree, ny, nx, jnp.real(b).dtype)
+                if is_complex else _vmem_ok(degree, ny, nx, b.dtype))
+        use_pallas = (platform == "tpu" and _pallas_enabled() and vmem)
+
+    if use_pallas and is_complex:
+        return _fused_cheb_complex(w, dinv, b, x0, steps, theta, delta,
+                                   degree, want_residual=want_residual,
+                                   interpret=interpret)
 
     sigma1 = theta / delta
 
     if not use_pallas:
         from jax import lax as _lax
+        theta_b = _expand_bound(theta, b)
+        delta_b = _expand_bound(delta, b)
+        sigma1_b = _expand_bound(sigma1, b)
         x = x0
         r = b - apply_stencil(w, x, d, use_pallas=False)
-        p = (r * dinv) / theta
+        p = (r * dinv) / theta_b
         x = x + p
-        rho0 = jnp.asarray(1.0 / sigma1, x.dtype)
+        rho0 = jnp.broadcast_to(1.0 / sigma1_b,
+                                sigma1_b.shape).astype(jnp.real(b).dtype)
 
         # rolled loop: keeps the traced graph O(1) in the step count (the
         # unrolled variant dominates XLA compile time for the nested
@@ -286,8 +327,8 @@ def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
         def body(_, carry):
             x, p, rho = carry
             r = b - apply_stencil(w, x, d, use_pallas=False)
-            rho_new = 1.0 / (2.0 * sigma1 - rho)
-            p = rho_new * rho * p + (2.0 * rho_new / delta) * (r * dinv)
+            rho_new = 1.0 / (2.0 * sigma1_b - rho)
+            p = rho_new * rho * p + (2.0 * rho_new / delta_b) * (r * dinv)
             return (x + p, p, rho_new)
 
         x, p, _ = _lax.fori_loop(0, steps - 1, body, (x, p, rho0))
@@ -309,13 +350,16 @@ def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
     n = b_b.shape[0]
     w_per_batch = w_b.shape[0] == n and n > 1
     dtype = b.dtype
-    th = jnp.reshape(jnp.asarray(theta, dtype), (1, 1))
-    de = jnp.reshape(jnp.asarray(delta, dtype), (1, 1))
+    # scalar bounds shared across the batch, or per-batch (n,) vectors
+    # (batched ParaDiag hierarchies): one (n, 1) SMEM array either way
+    th = jnp.broadcast_to(jnp.asarray(theta, dtype).reshape(-1, 1), (n, 1))
+    de = jnp.broadcast_to(jnp.asarray(delta, dtype).reshape(-1, 1), (n, 1))
 
     def kernel(th_ref, de_ref, w_ref, dinv_ref, b_ref, x_ref,
                out_ref, r_ref, xp):
-        theta_ = th_ref[0, 0]
-        delta_ = de_ref[0, 0]
+        i = pl.program_id(0)
+        theta_ = th_ref[i, 0]
+        delta_ = de_ref[i, 0]
         sigma1_ = theta_ / delta_
         xp[:] = jnp.zeros_like(xp)
         xp[d:d + ny, d:d + nx] = x_ref[0]
@@ -367,6 +411,133 @@ def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
         scratch_shapes=[pltpu.VMEM((ny + 2 * d, nx + 2 * d), dtype)],
     )(th, de, w_b, jnp.broadcast_to(dinv_b, b_b.shape),
       b_b, jnp.broadcast_to(x_b, b_b.shape))
+    if not batched:
+        x_out, r_out = x_out[0], r_out[0]
+    return (x_out, r_out) if want_residual else x_out
+
+
+def _fused_cheb_complex(w, dinv, b, x0, steps, theta, delta, degree,
+                        want_residual=False, interpret=False):
+    """Complex fused Chebyshev-Jacobi smoother: the ParaDiag frequency
+    blocks (F + mu_k S) are complex, Mosaic is real-only, so the kernel
+    streams re/im weight planes through VMEM once and runs all ``steps``
+    iterations with explicit complex arithmetic.  The (2K) weight planes
+    stay VMEM-resident across the whole smoothing sweep -- the XLA
+    fallback re-reads them from HBM every iteration, which dominates the
+    preconditioner's memory traffic.
+
+    w: (K, ny, nx) or (n, K, ny, nx) complex; dinv/b/x0: (..., ny, nx)
+    complex; theta/delta: real scalars or per-batch (n,) vectors.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = degree
+    offs = stencil_offsets(d)
+    K = len(offs)
+    ny, nx = b.shape[-2:]
+    batched = b.ndim == 3
+    b_b = b if batched else b[None]
+    x_b = x0 if batched else x0[None]
+    dinv_b = dinv if batched else dinv[None]
+    w_b = w if w.ndim == 4 else w[None]
+    n = b_b.shape[0]
+    w_per_batch = w_b.shape[0] == n and n > 1
+    if not w_per_batch and w_b.shape[0] != 1:
+        raise ValueError("stencil batch mismatch")
+    rdtype = jnp.real(b).dtype
+    dinv_b = jnp.broadcast_to(dinv_b, b_b.shape)
+    x_b = jnp.broadcast_to(x_b, b_b.shape)
+    th = jnp.broadcast_to(
+        jnp.asarray(theta, rdtype).reshape(-1, 1), (n, 1))
+    de = jnp.broadcast_to(
+        jnp.asarray(delta, rdtype).reshape(-1, 1), (n, 1))
+
+    def kernel(th_ref, de_ref, wr_ref, wi_ref, dr_ref, di_ref,
+               br_ref, bi_ref, xr_ref, xi_ref,
+               oxr_ref, oxi_ref, rr_ref, ri_ref, xpr, xpi):
+        i = pl.program_id(0)
+        theta_ = th_ref[i, 0]
+        delta_ = de_ref[i, 0]
+        sigma1_ = theta_ / delta_
+        xpr[:] = jnp.zeros_like(xpr)
+        xpi[:] = jnp.zeros_like(xpi)
+        xpr[d:d + ny, d:d + nx] = xr_ref[0]
+        xpi[d:d + ny, d:d + nx] = xi_ref[0]
+
+        def stencil():
+            dy, dx_ = offs[0]
+            sr = xpr[d + dy: d + dy + ny, d + dx_: d + dx_ + nx]
+            si = xpi[d + dy: d + dy + ny, d + dx_: d + dx_ + nx]
+            ar = wr_ref[0, 0] * sr - wi_ref[0, 0] * si
+            ai = wr_ref[0, 0] * si + wi_ref[0, 0] * sr
+            for k in range(1, K):
+                dy, dx_ = offs[k]
+                sr = xpr[d + dy: d + dy + ny, d + dx_: d + dx_ + nx]
+                si = xpi[d + dy: d + dy + ny, d + dx_: d + dx_ + nx]
+                ar = ar + wr_ref[0, k] * sr - wi_ref[0, k] * si
+                ai = ai + wr_ref[0, k] * si + wi_ref[0, k] * sr
+            return ar, ai
+
+        def resid():
+            ar, ai = stencil()
+            return br_ref[0] - ar, bi_ref[0] - ai
+
+        def cdinv(rr, ri):
+            # (rr + i ri) * (dr + i di)
+            return (rr * dr_ref[0] - ri * di_ref[0],
+                    rr * di_ref[0] + ri * dr_ref[0])
+
+        rr, ri = resid()
+        zr, zi = cdinv(rr, ri)
+        pr = zr / theta_
+        pi = zi / theta_
+        xpr[d:d + ny, d:d + nx] = xpr[d:d + ny, d:d + nx] + pr
+        xpi[d:d + ny, d:d + nx] = xpi[d:d + ny, d:d + nx] + pi
+        rho = 1.0 / sigma1_
+        for _ in range(steps - 1):
+            rr, ri = resid()
+            zr, zi = cdinv(rr, ri)
+            rho_new = 1.0 / (2.0 * sigma1_ - rho)
+            c = 2.0 * rho_new / delta_
+            pr = rho_new * rho * pr + c * zr
+            pi = rho_new * rho * pi + c * zi
+            xpr[d:d + ny, d:d + nx] = xpr[d:d + ny, d:d + nx] + pr
+            xpi[d:d + ny, d:d + nx] = xpi[d:d + ny, d:d + nx] + pi
+            rho = rho_new
+        oxr_ref[0] = xpr[d:d + ny, d:d + nx]
+        oxi_ref[0] = xpi[d:d + ny, d:d + nx]
+        rr, ri = resid()
+        rr_ref[0] = rr
+        ri_ref[0] = ri
+
+    w_index = (lambda i: (i, 0, 0, 0)) if w_per_batch else \
+        (lambda i: (0, 0, 0, 0))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    fld = pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    wsp = pl.BlockSpec((1, K, ny, nx), w_index, memory_space=pltpu.VMEM)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[smem, smem, wsp, wsp, fld, fld, fld, fld, fld, fld],
+        out_specs=(fld, fld, fld, fld),
+        out_shape=tuple(jax.ShapeDtypeStruct((n, ny, nx), rdtype)
+                        for _ in range(4)),
+        scratch_shapes=[pltpu.VMEM((ny + 2 * d, nx + 2 * d), rdtype),
+                        pltpu.VMEM((ny + 2 * d, nx + 2 * d), rdtype)],
+        interpret=interpret,
+        **kwargs,
+    )(th, de, jnp.real(w_b), jnp.imag(w_b),
+      jnp.real(dinv_b), jnp.imag(dinv_b),
+      jnp.real(b_b), jnp.imag(b_b),
+      jnp.real(x_b), jnp.imag(x_b))
+    x_out = outs[0] + 1j * outs[1]
+    r_out = outs[2] + 1j * outs[3]
     if not batched:
         x_out, r_out = x_out[0], r_out[0]
     return (x_out, r_out) if want_residual else x_out

@@ -369,10 +369,11 @@ class MGConfig:
     def _smooth(self, apply_fn, d, lam, b, x, steps):
         if steps == 0:
             return x
+        from ..ops.stencil import _expand_bound
         lam = lam * self.lam_safety
         lmin = lam / self.lam_frac
-        theta = 0.5 * (lam + lmin)
-        delta = 0.5 * (lam - lmin)
+        theta = _expand_bound(0.5 * (lam + lmin), b)
+        delta = _expand_bound(0.5 * (lam - lmin), b)
         sigma1 = theta / delta
         r = b - apply_fn(x)
         p = (r / d) / theta
@@ -398,7 +399,9 @@ class MGConfig:
             gs = self.spaces[-1].grid_shape
             batch = b.shape[:-len(gs)]
             bf = b.reshape(batch + (-1,))
-            xs = jnp.einsum("ij,...j->...i", params["Ainv"], bf,
+            # ellipsis broadcast: Ainv is (m, m) for a single hierarchy or
+            # (n, m, m) for batched (ParaDiag per-frequency) hierarchies
+            xs = jnp.einsum("...ij,...j->...i", params["Ainv"], bf,
                             precision=jax.lax.Precision.HIGHEST)
             return xs.reshape(b.shape)
         tr = self.transfers[lvl]
@@ -407,7 +410,7 @@ class MGConfig:
             from ..ops.stencil import fused_cheb_smooth
             w = params["Ws"][lvl]
             dinv = params["dinvs"][lvl]
-            theta, delta = self._bounds(params["lams"][lvl])
+            theta, delta = self._bounds(params["lams"][..., lvl])
             deg = self.spaces[lvl].degree
             x, r = fused_cheb_smooth(w, dinv, b, x, self.pre, theta, delta,
                                      deg, want_residual=True)
@@ -423,7 +426,7 @@ class MGConfig:
                                   deg)
             return x
         x = self._smooth(appliers[lvl], params["diags"][lvl],
-                         params["lams"][lvl], b, x, self.pre)
+                         params["lams"][..., lvl], b, x, self.pre)
         r = b - appliers[lvl](x)
         rc = tr.restrict(r)
         if mk is not None:
@@ -433,7 +436,7 @@ class MGConfig:
             ec = jnp.where(mk, 0.0, ec)
         x = x + tr.prolong(ec)
         x = self._smooth(appliers[lvl], params["diags"][lvl],
-                         params["lams"][lvl], b, x, self.post)
+                         params["lams"][..., lvl], b, x, self.post)
         return x
 
     def apply(self, params, b, x0=None, cycles=1):

@@ -97,3 +97,33 @@ def test_checkpoint_resume(tmp_path):
     cio.write_solution(str(tmp_path / "v"), f)
     g = cio.load_solution(str(tmp_path / "v"), V)
     assert float(jnp.abs(g.data - f.data).max()) == 0.0
+
+
+def test_fused_cheb_complex_matches_xla():
+    """The re/im-pair Pallas Chebyshev smoother (ParaDiag frequency
+    blocks; interpret mode here) matches the XLA fallback, including
+    per-batch spectral bounds."""
+    from control_tpu.ops.stencil import fused_cheb_smooth, \
+        _fused_cheb_complex
+    rng = np.random.default_rng(7)
+    n, K, ny, nx = 4, 9, 17, 17
+    mk = (rng.standard_normal((n, K, ny, nx))
+          + 1j * rng.standard_normal((n, K, ny, nx)))
+    w = jnp.asarray(mk, jnp.complex64)
+    dinv = jnp.asarray(0.1 * (rng.standard_normal((n, ny, nx))
+                              + 1j * rng.standard_normal((n, ny, nx))),
+                       jnp.complex64)
+    b = jnp.asarray(rng.standard_normal((n, ny, nx))
+                    + 1j * rng.standard_normal((n, ny, nx)), jnp.complex64)
+    theta = jnp.asarray(rng.uniform(1.0, 2.0, n), jnp.float32)
+    delta = jnp.asarray(rng.uniform(0.3, 0.8, n), jnp.float32)
+    ref_x, ref_r = fused_cheb_smooth(w, dinv, b, jnp.zeros_like(b), 5,
+                                     theta, delta, 1, want_residual=True,
+                                     use_pallas=False)
+    pal_x, pal_r = _fused_cheb_complex(w, dinv, b, jnp.zeros_like(b), 5,
+                                       theta, delta, 1,
+                                       want_residual=True, interpret=True)
+    scale = float(jnp.max(jnp.abs(ref_x)))
+    assert float(jnp.max(jnp.abs(ref_x - pal_x))) / scale < 1e-5
+    scale_r = float(jnp.max(jnp.abs(ref_r)))
+    assert float(jnp.max(jnp.abs(ref_r - pal_r))) / scale_r < 1e-5
