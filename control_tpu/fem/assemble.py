@@ -34,66 +34,67 @@ from ..ops.local_op import LocalOp, MaskedOp
 # ---------------------------------------------------------------------------
 
 def make_point_fn(e):
-    """Build f(x, y) -> value (jnp scalar or vector) for a spatial-only
-    expression."""
+    """Build f(x, y[, z]) -> value (jnp scalar or vector) for a
+    spatial-only expression (variadic in the mesh dimension)."""
     if isinstance(e, X.ScalarLiteral):
-        return lambda x, y: jnp.asarray(e.value)
+        return lambda *c: jnp.asarray(e.value)
     if isinstance(e, X.Constant):
-        return lambda x, y: jnp.asarray(e.value)
+        return lambda *c: jnp.asarray(e.value)
     if isinstance(e, X.SpatialX):
-        return (lambda x, y: x) if e.i == 0 else (lambda x, y: y)
+        i = e.i
+        return lambda *c: c[i]
     if isinstance(e, X.SpatialCoordinate):
-        return lambda x, y: jnp.stack([x, y])
+        return lambda *c: jnp.stack(c)
     if isinstance(e, X.Sum):
         fa, fb = make_point_fn(e.a), make_point_fn(e.b)
-        return lambda x, y: fa(x, y) + fb(x, y)
+        return lambda *c: fa(*c) + fb(*c)
     if isinstance(e, X.Product):
         fa, fb = make_point_fn(e.a), make_point_fn(e.b)
-        return lambda x, y: fa(x, y) * fb(x, y)
+        return lambda *c: fa(*c) * fb(*c)
     if isinstance(e, X.Pow):
         fa = make_point_fn(e.a)
         p = e.p
-        return lambda x, y: fa(x, y) ** p
+        return lambda *c: fa(*c) ** p
     if isinstance(e, X.Indexed):
         fa = make_point_fn(e.a)
         i = e.i
-        return lambda x, y: fa(x, y)[i]
+        return lambda *c: fa(*c)[i]
     if isinstance(e, X.AsVector):
-        fs = [make_point_fn(c) for c in e.comps]
-        return lambda x, y: jnp.stack([f(x, y) for f in fs])
+        fs = [make_point_fn(comp) for comp in e.comps]
+        return lambda *c: jnp.stack([f(*c) for f in fs])
     if isinstance(e, X.Grad):
         fa = make_point_fn(e.a)
 
-        def gfn(x, y):
-            packed = lambda xy: fa(xy[0], xy[1])  # noqa: E731
-            return jax.jacfwd(packed)(jnp.stack([x, y]))
+        def gfn(*c):
+            packed = lambda v: fa(*tuple(v))  # noqa: E731
+            return jax.jacfwd(packed)(jnp.stack(c))
 
         return gfn
     if isinstance(e, X.Div):
         fa = make_point_fn(e.a)
 
-        def dfn(x, y):
-            packed = lambda xy: fa(xy[0], xy[1])  # noqa: E731
-            J = jax.jacfwd(packed)(jnp.stack([x, y]))
+        def dfn(*c):
+            packed = lambda v: fa(*tuple(v))  # noqa: E731
+            J = jax.jacfwd(packed)(jnp.stack(c))
             return jnp.trace(J)
 
         return dfn
     if isinstance(e, X.Dot):
         fa, fb = make_point_fn(e.a), make_point_fn(e.b)
-        return lambda x, y: jnp.tensordot(fa(x, y), fb(x, y), axes=1)
+        return lambda *c: jnp.tensordot(fa(*c), fb(*c), axes=1)
     if isinstance(e, X.Inner):
         fa, fb = make_point_fn(e.a), make_point_fn(e.b)
-        return lambda x, y: jnp.sum(fa(x, y) * fb(x, y))
+        return lambda *c: jnp.sum(fa(*c) * fb(*c))
     if isinstance(e, X.MathFn):
         fa = make_point_fn(e.a)
         fn = _MATH_FNS[e.fn_name]
-        return lambda x, y: fn(fa(x, y))
+        return lambda *c: fn(fa(*c))
     if isinstance(e, X.Conditional):
         fc_a, fc_b = make_point_fn(e.cond.a), make_point_fn(e.cond.b)
         ft, ff = make_point_fn(e.t), make_point_fn(e.f)
         op = _CMP_FNS[e.cond.op]
-        return lambda x, y: jnp.where(op(fc_a(x, y), fc_b(x, y)),
-                                      ft(x, y), ff(x, y))
+        return lambda *c: jnp.where(op(fc_a(*c), fc_b(*c)),
+                                    ft(*c), ff(*c))
     raise NotImplementedError(
         f"spatial point function for {type(e).__name__}")
 
@@ -105,14 +106,13 @@ _CMP_FNS = {"ge": lambda a, b: a >= b, "le": lambda a, b: a <= b,
             "gt": lambda a, b: a > b, "lt": lambda a, b: a < b}
 
 
-def _eval_spatial(e, xs, ys):
-    """Evaluate a spatial-only expression at points; xs/ys arrays of any
-    shape; result shape xs.shape + e.shape."""
+def _eval_spatial(e, *coords):
+    """Evaluate a spatial-only expression at points; coordinate arrays
+    (x, y[, z]) of any common shape; result shape coords[0].shape + e.shape."""
     f = make_point_fn(e)
-    flat_x = jnp.ravel(xs)
-    flat_y = jnp.ravel(ys)
-    vals = jax.vmap(f)(flat_x, flat_y)
-    return vals.reshape(xs.shape + e.shape)
+    flats = tuple(jnp.ravel(c) for c in coords)
+    vals = jax.vmap(f)(*flats)
+    return vals.reshape(coords[0].shape + e.shape)
 
 
 # ---------------------------------------------------------------------------
@@ -126,6 +126,13 @@ def _locate(mesh, pts):
     fy = (pts[:, 1] - mesh.y0) / mesh.hy
     ix = np.clip(np.floor(fx - 1e-12).astype(int), 0, mesh.nx - 1)
     iy = np.clip(np.floor(fy - 1e-12).astype(int), 0, mesh.ny - 1)
+    if getattr(mesh, "ndim", 2) == 3:
+        fz = (pts[:, 2] - mesh.z0) / mesh.hz
+        iz = np.clip(np.floor(fz - 1e-12).astype(int), 0, mesh.nz - 1)
+        loc = np.stack([fx - ix, fy - iy, fz - iz], axis=-1)
+        loc = np.clip(loc, 0.0, 1.0)
+        cell = (iz * mesh.ny + iy) * mesh.nx + ix
+        return cell, loc
     loc = np.stack([fx - ix, fy - iy], axis=-1)
     loc = np.clip(loc, 0.0, 1.0)
     cell = iy * mesh.nx + ix
@@ -141,15 +148,17 @@ def _fem_eval_at_points(f, pts, deriv=False):
     fe = sp.gather(f.data)          # (E, nloc)
     dtype = f.data.dtype
     fe_p = fe[cell]                 # (npts, nloc[*dim])
+    h = (np.array([mesh.hx, mesh.hy, mesh.hz]) if sp.ndim == 3
+         else np.array([mesh.hx, mesh.hy]))
     if sp.dim is None:
         if not deriv:
             return jnp.einsum("pa,pa->p", jnp.asarray(N, dtype), fe_p)
-        dN = dN / np.array([mesh.hx, mesh.hy])
+        dN = dN / h
         return jnp.einsum("pad,pa->pd", jnp.asarray(dN, dtype), fe_p)
     fe_p = fe_p.reshape(fe_p.shape[0], sp.nloc_scalar, sp.dim)
     if not deriv:
         return jnp.einsum("pa,pac->pc", jnp.asarray(N, dtype), fe_p)
-    dN = dN / np.array([mesh.hx, mesh.hy])
+    dN = dN / h
     return jnp.einsum("pad,pac->pcd", jnp.asarray(dN, dtype), fe_p)
 
 
@@ -159,9 +168,8 @@ def eval_at_points(e, pts):
     if e.has_trial or e.has_test:
         raise ValueError("cannot point-evaluate trial/test functions")
     if e.spatial_only:
-        xs = jnp.asarray(pts[:, 0])
-        ys = jnp.asarray(pts[:, 1])
-        return _eval_spatial(e, xs, ys)
+        coords = tuple(jnp.asarray(pts[:, i]) for i in range(pts.shape[1]))
+        return _eval_spatial(e, *coords)
     if isinstance(e, (Function, _SubView)):
         return _fem_eval_at_points(e, pts)
     if isinstance(e, X.Grad):
@@ -221,10 +229,10 @@ def interpolate(space, value):
     """Interpolate a value onto the node grid of ``space``.
 
     ``value``: scalar | tuple (vector spaces) | Expr | Function | callable
-    of (x, y) numpy arrays.
+    of the (x, y[, z]) numpy coordinate arrays.
     """
     dtype = space.mesh.dtype
-    Xc, Yc = space.node_coords()
+    coords = space.node_coords()
     if np.isscalar(value):
         return jnp.full(space.grid_shape, float(value), dtype=dtype)
     if isinstance(value, (tuple, list)):
@@ -235,7 +243,7 @@ def interpolate(space, value):
     if isinstance(value, (Function, _SubView)) and value.space == space:
         return value.data.astype(dtype)
     if isinstance(value, X.Expr):
-        pts = np.stack([Xc.ravel(), Yc.ravel()], axis=-1)
+        pts = np.stack([c.ravel() for c in coords], axis=-1)
         vals = eval_at_points(value, pts)
         if space.dim is None:
             if value.shape != ():
@@ -245,7 +253,7 @@ def interpolate(space, value):
             raise ValueError("value shape mismatch")
         return vals.reshape(space.grid_shape).astype(dtype)
     if callable(value):
-        vals = value(Xc, Yc)
+        vals = value(*coords)
         return jnp.asarray(vals, dtype=dtype).reshape(space.grid_shape)
     raise TypeError(f"cannot interpolate {type(value)}")
 
@@ -266,10 +274,14 @@ class FunctionScalarView:
 class _QCtx:
     def __init__(self, mesh, nq1d, dtype, coef_override=None):
         self.mesh = mesh
+        self.ndim = getattr(mesh, "ndim", 2)
         self.dtype = dtype
         pts, w = elements.cell_quadrature(mesh.cell, nq1d)
-        self.qpts = pts                           # (Q,2) cell-ref, numpy
-        self.w_phys = jnp.asarray(w * mesh.hx * mesh.hy, dtype)
+        self.qpts = pts                           # (Q,ndim) cell-ref, numpy
+        vol = mesh.hx * mesh.hy * (mesh.hz if self.ndim == 3 else 1.0)
+        self._h = (np.array([mesh.hx, mesh.hy, mesh.hz]) if self.ndim == 3
+                   else np.array([mesh.hx, mesh.hy]))
+        self.w_phys = jnp.asarray(w * vol, dtype)
         self.Q = len(w)
         self._tab = {}
         self._coef = {}
@@ -283,12 +295,12 @@ class _QCtx:
         if key not in self._tab:
             N, dN = elements.tabulate_scalar(self.mesh.cell, space.degree,
                                              self.qpts)
-            dN = dN / np.array([self.mesh.hx, self.mesh.hy])
+            dN = dN / self._h
             if space.dim is not None:
                 d = space.dim
                 nloc = N.shape[1]
                 Nv = np.zeros((self.Q, nloc * d, d))
-                dNv = np.zeros((self.Q, nloc * d, d, 2))
+                dNv = np.zeros((self.Q, nloc * d, d, self.ndim))
                 for c in range(d):
                     Nv[:, c::d, c] = N          # a_vec = a*d + c
                     dNv[:, c::d, c, :] = dN
@@ -301,11 +313,12 @@ class _QCtx:
 
     def phys_coords(self):
         if self._phys is None:
-            orig = self.mesh.cell_origins()       # (E,2) numpy
-            xq = orig[:, None, 0] + self.qpts[None, :, 0] * self.mesh.hx
-            yq = orig[:, None, 1] + self.qpts[None, :, 1] * self.mesh.hy
-            self._phys = (jnp.asarray(xq, self.dtype),
-                          jnp.asarray(yq, self.dtype))
+            orig = self.mesh.cell_origins()       # (E,ndim) numpy
+            self._phys = tuple(
+                jnp.asarray(orig[:, None, i]
+                            + self.qpts[None, :, i] * self._h[i],
+                            self.dtype)
+                for i in range(self.ndim))
         return self._phys
 
     def coef_at_q(self, f, deriv=False):
@@ -367,8 +380,7 @@ def _qeval(e, ctx):
         v = ctx.coef_at_q(e.a, deriv=True)      # (E,Q,d,2)
         return jnp.trace(v, axis1=-2, axis2=-1)[:, :, None, None]
     if e.spatial_only and (e.has_coord or isinstance(e, (X.Grad, X.Div))):
-        xq, yq = ctx.phys_coords()
-        v = _eval_spatial(e, xq, yq)             # (E,Q,*shape)
+        v = _eval_spatial(e, *ctx.phys_coords())  # (E,Q,*shape)
         return v[:, :, None, None] if e.shape == () else \
             v[(slice(None), slice(None), None, None) + (...,)]
     if isinstance(e, (X.ScalarLiteral, X.Constant)):

@@ -131,11 +131,19 @@ def _tri_quadrature(nq1d):
 # cell tabulation
 # ---------------------------------------------------------------------------
 
-def cell_node_offsets(degree):
-    """Cell-local node positions, shape ((d+1)**2, 2), ordered y-major:
-    a = ay * (d+1) + ax with node at (ax/d, ay/d)."""
+def cell_node_offsets(degree, ndim=2):
+    """Cell-local node positions, shape ((d+1)**ndim, ndim), ordered
+    major-to-minor as (z,) y, x:  a = (az*(d+1) + ay)*(d+1) + ax with node
+    at (ax/d, ay/d[, az/d])."""
     d = degree
     out = []
+    if ndim == 3:
+        for az in range(d + 1):
+            for ay in range(d + 1):
+                for ax in range(d + 1):
+                    out.append((ax / d if d else 0.0, ay / d if d else 0.0,
+                                az / d if d else 0.0))
+        return np.asarray(out, dtype=np.float64)
     for ay in range(d + 1):
         for ax in range(d + 1):
             out.append((ax / d if d else 0.0, ay / d if d else 0.0))
@@ -156,6 +164,12 @@ def _quad_points_key(cell, nq1d):
         p_up = p_lo[:, ::-1].copy()      # swap x/y: reflect across diagonal
         w_up = w_lo.copy()
         return np.concatenate([p_lo, p_up]), np.concatenate([w_lo, w_up])
+    elif cell == "hex":
+        gx, gw = gauss_1d(nq1d)
+        pts = np.asarray([(x, y, z) for z in gx for y in gx for x in gx])
+        wts = np.asarray([wz * wy * wx for wz in gw for wy in gw
+                          for wx in gw])
+        return pts, wts
     raise ValueError(f"unknown cell type {cell!r}")
 
 
@@ -176,8 +190,28 @@ def tabulate_scalar(cell, degree, points):
     """
     points = np.asarray(points, dtype=np.float64)
     d = degree
-    nloc = (d + 1) ** 2
     npts = len(points)
+
+    if cell == "hex":
+        # tensor-product Lagrange Q_d on [0,1]^3; nodes z-major (see
+        # cell_node_offsets(..., ndim=3)); dN (npts, nloc, 3)
+        nloc = (d + 1) ** 3
+        Nx, dNx = lagrange_1d(d, points[:, 0])
+        Ny, dNy = lagrange_1d(d, points[:, 1])
+        Nz, dNz = lagrange_1d(d, points[:, 2])
+        N = np.zeros((npts, nloc))
+        dN = np.zeros((npts, nloc, 3))
+        for az in range(d + 1):
+            for ay in range(d + 1):
+                for ax in range(d + 1):
+                    a = (az * (d + 1) + ay) * (d + 1) + ax
+                    N[:, a] = Nx[:, ax] * Ny[:, ay] * Nz[:, az]
+                    dN[:, a, 0] = dNx[:, ax] * Ny[:, ay] * Nz[:, az]
+                    dN[:, a, 1] = Nx[:, ax] * dNy[:, ay] * Nz[:, az]
+                    dN[:, a, 2] = Nx[:, ax] * Ny[:, ay] * dNz[:, az]
+        return N, dN
+
+    nloc = (d + 1) ** 2
 
     if cell == "quad":
         Nx, dNx = lagrange_1d(d, points[:, 0])

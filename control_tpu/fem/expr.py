@@ -159,7 +159,7 @@ def TrialFunction(space):
 
 
 class SpatialX(Expr):
-    """One coordinate component (x: i=0, y: i=1)."""
+    """One coordinate component (x: i=0, y: i=1, z: i=2)."""
 
     has_coord = True
 
@@ -173,16 +173,17 @@ class SpatialCoordinate(Expr):
 
     def __init__(self, mesh):
         self.mesh = mesh
-        self.shape = (2,)
+        self.ndim = getattr(mesh, "ndim", 2)
+        self.shape = (self.ndim,)
 
     def __getitem__(self, i):
         return SpatialX(self.mesh, i)
 
     def __iter__(self):
-        return iter((SpatialX(self.mesh, 0), SpatialX(self.mesh, 1)))
+        return iter(tuple(SpatialX(self.mesh, i) for i in range(self.ndim)))
 
     def __len__(self):
-        return 2
+        return self.ndim
 
 
 # ---------------------------------------------------------------------------

@@ -12,6 +12,8 @@ bc.apply / DirichletBCNullspace machinery
 (reference preconditioner/preconditioner.py:158-197).
 """
 
+import itertools
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -20,7 +22,10 @@ from . import elements
 
 
 class FunctionSpace:
-    """Scalar (or, via ``dim``, vector) Lagrange space of given degree."""
+    """Scalar (or, via ``dim``, vector) Lagrange space of given degree.
+
+    Works on 2-D (quad/tri) and 3-D (hex) structured meshes; the node grid
+    is ordered major-to-minor as ([z,] y, x)."""
 
     def __init__(self, mesh, family="Lagrange", degree=1, dim=None):
         if family not in ("Lagrange", "CG", "P", "Q"):
@@ -28,20 +33,29 @@ class FunctionSpace:
         self.mesh = mesh
         self.degree = int(degree)
         self.dim = dim                      # None => scalar
+        self.ndim = getattr(mesh, "ndim", 2)
         d = self.degree
         self.nodes_x = d * mesh.nx + 1
         self.nodes_y = d * mesh.ny + 1
+        if self.ndim == 3:
+            self.nodes_z = d * mesh.nz + 1
+            node_grid = (self.nodes_z, self.nodes_y, self.nodes_x)
+        else:
+            node_grid = (self.nodes_y, self.nodes_x)
+        self.node_grid = node_grid
         self.value_shape = () if dim is None else (dim,)
-        self.grid_shape = ((self.nodes_y, self.nodes_x)
-                           if dim is None else
-                           (self.nodes_y, self.nodes_x, dim))
-        self.nloc_scalar = (d + 1) ** 2
+        self.grid_shape = (node_grid if dim is None
+                           else node_grid + (dim,))
+        self.nloc_scalar = (d + 1) ** self.ndim
         self.nloc = self.nloc_scalar * (1 if dim is None else dim)
         self.n_dofs = int(np.prod(self.grid_shape))
 
     # -- identity ------------------------------------------------------------
     def _key(self):
         m = self.mesh
+        if self.ndim == 3:
+            return (3, m.nx, m.ny, m.nz, m.x0, m.x1, m.y0, m.y1,
+                    m.z0, m.z1, self.degree, self.dim)
         return (m.nx, m.ny, m.x0, m.x1, m.y0, m.y1, m.cell,
                 self.degree, self.dim)
 
@@ -65,57 +79,68 @@ class FunctionSpace:
 
     # -- geometry ------------------------------------------------------------
     def node_coords(self):
-        """numpy (X, Y) arrays of node coordinates, each (nodes_y, nodes_x)."""
+        """numpy coordinate arrays (X, Y[, Z]), each of node-grid shape."""
         m = self.mesh
         xs = np.linspace(m.x0, m.x1, self.nodes_x)
         ys = np.linspace(m.y0, m.y1, self.nodes_y)
+        if self.ndim == 3:
+            zs = np.linspace(m.z0, m.z1, self.nodes_z)
+            Z, Y, X = np.meshgrid(zs, ys, xs, indexing="ij")
+            return X, Y, Z
         X, Y = np.meshgrid(xs, ys)
         return X, Y
 
     # -- gather / scatter ----------------------------------------------------
+    def _axis_cells(self):
+        m = self.mesh
+        return (m.nz, m.ny, m.nx) if self.ndim == 3 else (m.ny, m.nx)
+
     def _node_slices(self, ay, ax):
         d, m = self.degree, self.mesh
         return (slice(ay, ay + d * (m.ny - 1) + 1, d),
                 slice(ax, ax + d * (m.nx - 1) + 1, d))
 
+    def _node_slices_nd(self, a):
+        """Axis slices for cell-local node offset tuple ``a`` (major-to-
+        minor, i.e. ([az,] ay, ax))."""
+        d = self.degree
+        return tuple(slice(ai, ai + d * (nc - 1) + 1, d)
+                     for ai, nc in zip(a, self._axis_cells()))
+
     def gather(self, x):
         """(*batch, *grid_shape) -> (*batch, E, nloc) cell-local coefficients.
 
-        Cells ordered y-major (E = ny*nx); local index a = ay*(d+1)+ax for
-        scalars, a*dim + c for vectors.
+        Cells ordered major-to-minor (E = [nz*]ny*nx); local index
+        a = ([az*(d+1) +] ay)*(d+1) + ax for scalars, a*dim + c for vectors.
         """
-        d, m = self.degree, self.mesh
+        d, nd = self.degree, self.ndim
         comp_ax = 0 if self.dim is None else 1
+        tail = (slice(None),) if self.dim is not None else ()
         pieces = []
-        for ay in range(d + 1):
-            for ax in range(d + 1):
-                sy, sx = self._node_slices(ay, ax)
-                if self.dim is None:
-                    pieces.append(x[..., sy, sx])
-                else:
-                    pieces.append(x[..., sy, sx, :])
-        # each piece: (*batch, ny, nx[, dim])
-        st = jnp.stack(pieces, axis=-1 - comp_ax)   # (*batch, ny, nx, nloc_s[, dim])
-        batch = st.shape[:-(3 + comp_ax)]
-        return st.reshape(batch + (m.ny * m.nx, self.nloc))
+        for a in itertools.product(range(d + 1), repeat=nd):
+            sl = self._node_slices_nd(a)
+            pieces.append(x[(...,) + sl + tail])
+        # each piece: (*batch, [nz,] ny, nx[, dim])
+        st = jnp.stack(pieces, axis=-1 - comp_ax)
+        batch = st.shape[:-(nd + 1 + comp_ax)]
+        return st.reshape(batch + (self.mesh.n_cells, self.nloc))
 
     def scatter_add(self, r):
         """(*batch, E, nloc) -> (*batch, *grid_shape), adding overlaps."""
-        d, m = self.degree, self.mesh
+        d, nd = self.degree, self.ndim
         batch = r.shape[:-2]
+        cells = self._axis_cells()
         if self.dim is None:
-            rr = r.reshape(batch + (m.ny, m.nx, self.nloc_scalar))
+            rr = r.reshape(batch + cells + (self.nloc_scalar,))
         else:
-            rr = r.reshape(batch + (m.ny, m.nx, self.nloc_scalar, self.dim))
+            rr = r.reshape(batch + cells + (self.nloc_scalar, self.dim))
         out = jnp.zeros(batch + self.grid_shape, dtype=r.dtype)
-        for ay in range(d + 1):
-            for ax in range(d + 1):
-                a = ay * (d + 1) + ax
-                sy, sx = self._node_slices(ay, ax)
-                if self.dim is None:
-                    out = out.at[..., sy, sx].add(rr[..., a])
-                else:
-                    out = out.at[..., sy, sx, :].add(rr[..., a, :])
+        for i, a in enumerate(itertools.product(range(d + 1), repeat=nd)):
+            sl = self._node_slices_nd(a)
+            if self.dim is None:
+                out = out.at[(...,) + sl].add(rr[..., i])
+            else:
+                out = out.at[(...,) + sl + (slice(None),)].add(rr[..., i, :])
         return out
 
     def zeros(self, *batch):
@@ -126,27 +151,26 @@ class FunctionSpace:
     def boundary_mask(self, sub_domain="on_boundary"):
         """Boolean grid mask (no component axis) for a boundary subdomain.
 
-        Subdomain ids follow the Firedrake RectangleMesh convention:
-        1: x = x0, 2: x = x1, 3: y = y0, 4: y = y1.
+        Subdomain ids follow the Firedrake RectangleMesh/BoxMesh
+        convention: 1: x = x0, 2: x = x1, 3: y = y0, 4: y = y1
+        (3-D additionally 5: z = z0, 6: z = z1).
         """
-        mask = np.zeros((self.nodes_y, self.nodes_x), dtype=bool)
+        mask = np.zeros(self.node_grid, dtype=bool)
+        n_faces = 2 * self.ndim
         if sub_domain == "on_boundary":
-            ids = (1, 2, 3, 4)
+            ids = tuple(range(1, n_faces + 1))
         elif isinstance(sub_domain, (list, tuple)):
             ids = tuple(sub_domain)
         else:
             ids = (int(sub_domain),)
         for i in ids:
-            if i == 1:
-                mask[:, 0] = True
-            elif i == 2:
-                mask[:, -1] = True
-            elif i == 3:
-                mask[0, :] = True
-            elif i == 4:
-                mask[-1, :] = True
-            else:
+            if not 1 <= i <= n_faces:
                 raise ValueError(f"unknown boundary id {i}")
+            axis = self.ndim - 1 - (i - 1) // 2   # x: last axis, y, z...
+            side = 0 if (i - 1) % 2 == 0 else -1
+            idx = [slice(None)] * self.ndim
+            idx[axis] = side
+            mask[tuple(idx)] = True
         return mask
 
     def dual(self):

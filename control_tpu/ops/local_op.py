@@ -86,18 +86,29 @@ def _global_indices(space):
     """(E, nloc) int32 array of flattened global dof indices (numpy)."""
     d, m = space.degree, space.mesh
     dim = 1 if space.dim is None else space.dim
-    iy = np.arange(m.ny)[:, None, None, None]
-    ix = np.arange(m.nx)[None, :, None, None]
-    ay = (np.arange(d + 1))[None, None, :, None]
-    ax = (np.arange(d + 1))[None, None, None, :]
-    gy = d * iy + ay      # (ny, nx, d+1, d+1)
-    gx = d * ix + ax
-    node = gy * space.nodes_x + gx
-    node = node.reshape(m.ny * m.nx, (d + 1) ** 2)
+    if getattr(space, "ndim", 2) == 3:
+        iz = np.arange(m.nz)[:, None, None, None, None, None]
+        iy = np.arange(m.ny)[None, :, None, None, None, None]
+        ix = np.arange(m.nx)[None, None, :, None, None, None]
+        az = np.arange(d + 1)[None, None, None, :, None, None]
+        ay = np.arange(d + 1)[None, None, None, None, :, None]
+        ax = np.arange(d + 1)[None, None, None, None, None, :]
+        node = ((d * iz + az) * space.nodes_y + (d * iy + ay)) \
+            * space.nodes_x + (d * ix + ax)
+        node = node.reshape(m.n_cells, (d + 1) ** 3)
+    else:
+        iy = np.arange(m.ny)[:, None, None, None]
+        ix = np.arange(m.nx)[None, :, None, None]
+        ay = (np.arange(d + 1))[None, None, :, None]
+        ax = (np.arange(d + 1))[None, None, None, :]
+        gy = d * iy + ay      # (ny, nx, d+1, d+1)
+        gx = d * ix + ax
+        node = gy * space.nodes_x + gx
+        node = node.reshape(m.ny * m.nx, (d + 1) ** 2)
     if space.dim is None:
         return node
     full = node[:, :, None] * dim + np.arange(dim)[None, None, :]
-    return full.reshape(m.ny * m.nx, (d + 1) ** 2 * dim)
+    return full.reshape(node.shape[0], node.shape[1] * dim)
 
 
 class MaskedOp:
