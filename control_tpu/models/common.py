@@ -192,6 +192,15 @@ class BlockSolver:
             self.params = (self.config.build(inner.A) if state is None
                            else state)
             self.state = self.params
+        elif op.trial_space.ndim != 2:
+            # node-stencil fast path is 2-D only; 3-D applies the LocalOp
+            if state is None:
+                d = self.op.diag()
+                self.diag = jnp.where(d == 0, 1.0, d)
+                self.state = {"diag": self.diag}
+            else:
+                self.diag = state["diag"]
+                self.state = state
         else:
             from ..ops.stencil import StencilOp
             if state is None:

@@ -34,24 +34,26 @@ from ..ops.local_op import LocalOp, MaskedOp, _global_indices
 # static transfer tensors
 # ---------------------------------------------------------------------------
 
-def _child_embedding(cell, degree):
-    """P_k (4, nloc, nloc): coarse basis tabulated at the node positions of
-    child cell k (children ordered k = ky*2 + kx)."""
-    offs = elements.cell_node_offsets(degree)       # (nloc, 2) in child ref
+def _child_embedding(cell, degree, ndim=2):
+    """P_k (2**ndim, nloc, nloc): coarse basis tabulated at the node
+    positions of child cell k (children ordered k = [kz*2 +] ky)*2 + kx)."""
+    offs = elements.cell_node_offsets(degree, ndim)  # (nloc, ndim), child ref
     Ps = []
-    for ky in (0, 1):
-        for kx in (0, 1):
-            pts = 0.5 * (offs + np.array([kx, ky]))  # coarse-ref coords
-            N, _ = elements.tabulate_scalar(cell, degree, pts)
-            Ps.append(N)                             # (nloc_fine, nloc_coarse)
+    import itertools
+    for kk in itertools.product((0, 1), repeat=ndim):
+        shift = np.array(kk[::-1], dtype=np.float64)  # (kx, ky[, kz])
+        pts = 0.5 * (offs + shift)                   # coarse-ref coords
+        N, _ = elements.tabulate_scalar(cell, degree, pts)
+        Ps.append(N)                                 # (nloc_fine, nloc_coarse)
     return np.stack(Ps)
 
 
-def _cell_prolongation(cell, degree):
-    """(nfl, nc): coarse basis at the (2d+1)^2 fine-node positions of a
-    coarse cell (y-major ordering, matching a degree-2d virtual space)."""
+def _cell_prolongation(cell, degree, ndim=2):
+    """(nfl, nc): coarse basis at the (2d+1)**ndim fine-node positions of a
+    coarse cell (major-to-minor ordering, matching a degree-2d virtual
+    space)."""
     d2 = 2 * degree
-    offs = elements.cell_node_offsets(d2)            # (nfl, 2)
+    offs = elements.cell_node_offsets(d2, ndim)      # (nfl, ndim)
     N, _ = elements.tabulate_scalar(cell, degree, offs)
     return N                                         # (nfl, nc)
 
@@ -77,6 +79,7 @@ class Transfer:
     def __init__(self, fine_space):
         mesh_c = fine_space.mesh.coarsen()
         self.fine = fine_space
+        self.ndim = fine_space.ndim
         self.coarse = FunctionSpace(mesh_c, degree=fine_space.degree,
                                     dim=fine_space.dim)
         # virtual degree-2d space on the coarse mesh shares the fine grid
@@ -84,56 +87,64 @@ class Transfer:
                                   dim=fine_space.dim)
         assert self.virt.grid_shape == fine_space.grid_shape
         dtype = fine_space.mesh.dtype
-        P = _cell_prolongation(fine_space.mesh.cell, fine_space.degree)
+        P = _cell_prolongation(fine_space.mesh.cell, fine_space.degree,
+                               self.ndim)
         self._P_cell = jnp.asarray(P, dtype)         # (nfl_s, nc_s) scalar
         ones = jnp.ones((mesh_c.n_cells, self.virt.nloc), dtype)
         self.mult = self.virt.scatter_add(ones)      # multiplicity grid
-        Pk = _child_embedding(fine_space.mesh.cell, fine_space.degree)
+        Pk = _child_embedding(fine_space.mesh.cell, fine_space.degree,
+                              self.ndim)
         if fine_space.dim is not None:
             Pk = np.stack([_vec_block(p, fine_space.dim) for p in Pk])
-        self._P_child = jnp.asarray(Pk, dtype)       # (4, nloc_f, nloc_c)
+        self._P_child = jnp.asarray(Pk, dtype)       # (2**ndim, nloc_f, nloc_c)
 
         # translation-invariant interpolation kernel: coarse scalar basis at
-        # fine-node offsets o in [-(2d-1), 2d-1]^2
+        # fine-node offsets o in [-(2d-1), 2d-1]^ndim.  Only consumed by the
+        # degree-1 conv fast path, where the Q1 nodal basis is separable:
+        # the n-D kernel is the outer power of the 1-D hat stencil.
         d = fine_space.degree
         L = 2 * d - 1
-        offs = np.arange(-L, L + 1) / (2.0 * d)      # coarse cell-ref units
-        pts = []
-        for oy in offs:
-            for ox in offs:
-                # local coords of the offset point relative to the coarse
-                # node at a cell corner; split into the four quadrants
-                pts.append((ox, oy))
-        kappa = np.zeros((2 * L + 1, 2 * L + 1))
-        # evaluate the coarse nodal basis (node at origin) at each offset
-        # by placing the origin at a cell corner and tabulating per quadrant
-        for iy, oy in enumerate(offs):
-            for ix, ox in enumerate(offs):
-                cx = 0.0 if ox >= 0 else -1.0        # cell containing point
-                cy = 0.0 if oy >= 0 else -1.0
-                lx = ox - cx
-                ly = oy - cy
-                # node index of the origin within that cell
-                ax = 0 if cx == 0.0 else d
-                ay = 0 if cy == 0.0 else d
-                a = ay * (d + 1) + ax
-                N, _ = elements.tabulate_scalar(
-                    fine_space.mesh.cell, d, np.array([[lx, ly]]))
-                kappa[iy, ix] = N[0, a]
-        self._kappa = jnp.asarray(kappa, dtype)
+        if d == 1 and fine_space.mesh.cell in ("quad", "hex"):
+            # tensor-product Q1 basis is separable: outer power of the hat
+            k1 = np.array([0.5, 1.0, 0.5])
+            kap = k1
+            for _ in range(self.ndim - 1):
+                kap = np.multiply.outer(kap, k1)
+            self._kappa = jnp.asarray(kap, dtype)
+        elif self.ndim == 2:
+            # general (triangle-pair) 2-D kernel: coarse nodal basis (node
+            # at the origin, i.e. a cell corner) tabulated per quadrant
+            offs = np.arange(-L, L + 1) / (2.0 * d)  # coarse cell-ref units
+            kappa = np.zeros((2 * L + 1, 2 * L + 1))
+            for iy, oy in enumerate(offs):
+                for ix, ox in enumerate(offs):
+                    cx = 0.0 if ox >= 0 else -1.0    # cell containing point
+                    cy = 0.0 if oy >= 0 else -1.0
+                    lx = ox - cx
+                    ly = oy - cy
+                    ax = 0 if cx == 0.0 else d
+                    ay = 0 if cy == 0.0 else d
+                    a = ay * (d + 1) + ax
+                    N, _ = elements.tabulate_scalar(
+                        fine_space.mesh.cell, d, np.array([[lx, ly]]))
+                    kappa[iy, ix] = N[0, a]
+            self._kappa = jnp.asarray(kappa, dtype)
+        else:
+            self._kappa = None                       # slow path only
         self._L = L
 
     # -- conv-based fast path ------------------------------------------------
     def _conv_shape(self, x, space):
         gs = space.grid_shape
-        ng = 2 if space.dim is None else 3
+        nd = space.ndim
+        ng = nd if space.dim is None else nd + 1
         batch = x.shape[:-ng]
         if space.dim is None:
             xb = x.reshape((-1,) + gs)
             return xb[:, None], batch, None
         # fold components into the conv batch
         xb = jnp.moveaxis(x.reshape((-1,) + gs), -1, 1)
-        xb = xb.reshape((-1, 1) + gs[:2])
+        xb = xb.reshape((-1, 1) + space.node_grid)
         return xb, batch, space.dim
 
     @staticmethod
@@ -152,37 +163,39 @@ class Transfer:
             # use the gather/scatter path
             return self.prolong_slow(xc)
         sp = self.coarse
+        nd = self.ndim
         xb, batch, dim = self._conv_shape(xc, sp)
         L = self._L
         k = self._kappa[None, None]
         out = self._conv(
-            xb, k, window_strides=(1, 1),
-            padding=((L, L), (L, L)), lhs_dilation=(2, 2),
+            xb, k, window_strides=(1,) * nd,
+            padding=((L, L),) * nd, lhs_dilation=(2,) * nd,
             precision=jax.lax.Precision.HIGHEST)
-        fy, fx = self.fine.nodes_y, self.fine.nodes_x
+        fg = self.fine.node_grid
         if dim is None:
-            return out.reshape(batch + (fy, fx))
-        out = out.reshape((-1, dim, fy, fx))
+            return out.reshape(batch + fg)
+        out = out.reshape((-1, dim) + fg)
         out = jnp.moveaxis(out, 1, -1)
-        return out.reshape(batch + (fy, fx, dim))
+        return out.reshape(batch + fg + (dim,))
 
     def restrict(self, rf):
         if self.fine.degree != 1:
             return self.restrict_slow(rf)
         sp = self.fine
+        nd = self.ndim
         rb, batch, dim = self._conv_shape(rf, sp)
         L = self._L
         k = self._kappa[None, None]
         out = self._conv(
-            rb, k, window_strides=(2, 2),
-            padding=((L, L), (L, L)),
+            rb, k, window_strides=(2,) * nd,
+            padding=((L, L),) * nd,
             precision=jax.lax.Precision.HIGHEST)
-        cy, cx = self.coarse.nodes_y, self.coarse.nodes_x
+        cg = self.coarse.node_grid
         if dim is None:
-            return out.reshape(batch + (cy, cx))
-        out = out.reshape((-1, dim, cy, cx))
+            return out.reshape(batch + cg)
+        out = out.reshape((-1, dim) + cg)
         out = jnp.moveaxis(out, 1, -1)
-        return out.reshape(batch + (cy, cx, dim))
+        return out.reshape(batch + cg + (dim,))
 
     # -- reference (gather/scatter) path, kept for verification --------------
     def _cellwise(self, M, xe):
@@ -208,17 +221,26 @@ class Transfer:
     def galerkin(self, A):
         """Coarse local matrices from fine local matrices A (*, E_f, b, a)."""
         mc = self.coarse.mesh
+        nd = self.ndim
+        nch = 2 ** nd
         if A.shape[-3] == 1:
             Af = jnp.broadcast_to(
                 A[..., None, :, :, :],
-                A.shape[:-3] + (4, 1) + A.shape[-2:])
+                A.shape[:-3] + (nch, 1) + A.shape[-2:])
         else:
             batch = A.shape[:-3]
-            A4 = A.reshape(batch + (mc.ny, 2, mc.nx, 2)
-                           + A.shape[-2:])
-            A4 = jnp.moveaxis(A4, (-5, -3), (-4, -3))  # (.., ny_c, nx_c, 2, 2, b, a)
-            A4 = A4.reshape(batch + (mc.n_cells, 4) + A.shape[-2:])
-            Af = jnp.moveaxis(A4, -3, -4)              # (.., 4, E_c, b, a)
+            cells = (mc.nz, mc.ny, mc.nx) if nd == 3 else (mc.ny, mc.nx)
+            inter = sum(((c, 2) for c in cells), ())
+            A4 = A.reshape(batch + inter + A.shape[-2:])
+            nb = len(batch)
+            # regroup (c0,2,c1,2[,c2,2]) -> (coarse cells..., children...)
+            perm = (tuple(range(nb))
+                    + tuple(nb + 2 * i for i in range(nd))
+                    + tuple(nb + 2 * i + 1 for i in range(nd))
+                    + (nb + 2 * nd, nb + 2 * nd + 1))
+            A4 = A4.transpose(perm)
+            A4 = A4.reshape(batch + (mc.n_cells, nch) + A.shape[-2:])
+            Af = jnp.moveaxis(A4, -3, -4)              # (.., nch, E_c, b, a)
         # RAP per child: P_k^T A P_k summed over children
         Ac = jnp.einsum("kfc,...kefg,kgd->...ecd", self._P_child, Af,
                         self._P_child)
@@ -284,7 +306,9 @@ class MGConfig:
         n_levels = 1
         while (levels is None or n_levels < levels):
             m = sp.mesh
-            if m.nx % 2 or m.ny % 2 or min(m.nx, m.ny) <= 2:
+            axes = ((m.nx, m.ny, m.nz) if getattr(m, "ndim", 2) == 3
+                    else (m.nx, m.ny))
+            if any(n % 2 for n in axes) or min(axes) <= 2:
                 break
             if levels is None and sp.n_dofs <= coarse_max_dofs:
                 break
@@ -294,15 +318,16 @@ class MGConfig:
             self.spaces.append(sp)
             n_levels += 1
 
+        half = (slice(None, None, 2),) * space.ndim
         self.masks = [mask]
         for _ in self.transfers:
             prev = self.masks[-1]
             if prev is None:
                 self.masks.append(None)
             elif space.dim is None:
-                self.masks.append(prev[::2, ::2])
+                self.masks.append(prev[half])
             else:
-                self.masks.append(prev[::2, ::2, :])
+                self.masks.append(prev[half + (slice(None),)])
 
     def _ops(self, As):
         ops = []
@@ -313,7 +338,9 @@ class MGConfig:
 
     @property
     def use_stencil(self):
-        return True
+        # the node-stencil fast path is 2-D only; 3-D hierarchies run on
+        # the gather/scatter LocalOp path
+        return self.spaces[0].ndim == 2
 
     def _appliers(self, params):
         """Per-level apply callables (stencil fast path on scalar spaces)."""
