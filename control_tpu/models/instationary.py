@@ -68,7 +68,10 @@ def _fast_stack_applier(space, A):
     """Batched stacked-operator application via the node-stencil fast path
     (one fused kernel per apply on TPU for scalar spaces; fused
     shift/multiply-adds with dim x dim coupling blocks for vector
-    spaces)."""
+    spaces).  3-D spaces use the gather/scatter path (the stencil fold is
+    2-D only)."""
+    if space.ndim != 2:
+        return lambda x: _stack_apply(space, space, A, x)
     from ..ops.stencil import node_stencil, apply_stencil
     w = node_stencil(A, space)
     d = space.degree
@@ -90,7 +93,7 @@ class _SweepSolver:
         self.space, self.mask, self.cycles = space, mask, cycles
         self.config = MGConfig(space, mask)
         self.shared = diag_A.shape[0] == 1
-        self.stencil_sub = True
+        self.stencil_sub = space.ndim == 2
         if state is not None:
             self.params = state["params"]
             self.sub = state["sub"]
@@ -101,9 +104,11 @@ class _SweepSolver:
                 self.params = jax.vmap(self.config.build)(diag_A)
             if sub_A is None:
                 self.sub = None
-            else:
+            elif self.stencil_sub:
                 from ..ops.stencil import node_stencil
                 self.sub = node_stencil(sub_A, space)  # (m|1,K,ny,nx[,D,D])
+            else:
+                self.sub = sub_A                       # local matrices
         self.state = {"params": self.params, "sub": self.sub}
 
     def _sub_apply(self, S_i, u):
@@ -288,12 +293,17 @@ class _ParaDiagSweep:
             self.params = jax.vmap(self.config.build)(A_k)
             # exact bidiagonal factor stencils for the defect correction
             # (masked rows: identity on the diagonal factor, zero on the
-            # sub-diagonal)
-            from ..ops.stencil import node_stencil
-            self._wF = node_stencil(diag_A[0], space, mask=mask)
-            self._wS = node_stencil(
-                jnp.broadcast_to(sub_A[0], diag_A.shape[1:]), space,
-                mask=mask, alpha=0.0)
+            # sub-diagonal); 3-D keeps the local matrices and applies them
+            # on the gather/scatter path (_factor_apply)
+            if space.ndim == 2:
+                from ..ops.stencil import node_stencil
+                self._wF = node_stencil(diag_A[0], space, mask=mask)
+                self._wS = node_stencil(
+                    jnp.broadcast_to(sub_A[0], diag_A.shape[1:]), space,
+                    mask=mask, alpha=0.0)
+            else:
+                self._wF = diag_A[0]
+                self._wS = jnp.broadcast_to(sub_A[0], diag_A.shape[1:])
         else:
             self.params = decode_complex(state["params"])
             self._wF = state["wF"]
@@ -336,6 +346,15 @@ class _ParaDiagSweep:
 
     def _factor_apply(self, u):
         """Exact y_i = F u_i + S u_{i-1} (bc rows: identity)."""
+        if self.space.ndim != 2:
+            from ..ops.local_op import LocalOp, MaskedOp
+            F = LocalOp(self._wF, self.space, self.space)
+            S = LocalOp(self._wS, self.space, self.space)
+            if self.mask is not None:
+                F = MaskedOp(F, self.mask, alpha=1.0)
+                S = MaskedOp(S, self.mask, alpha=0.0)
+            y = F.apply(u)
+            return y.at[1:].add(S.apply(u[:-1]))
         from ..ops.stencil import apply_stencil
         d = self.space.degree
         y = apply_stencil(self._wF, u, d)
