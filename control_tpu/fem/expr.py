@@ -270,12 +270,26 @@ def as_vector(comps):
     return AsVector(comps)
 
 
+def _expr_ndim(e):
+    """Spatial dimension of the mesh an expression lives on (default 2)."""
+    if hasattr(e, "space"):
+        return getattr(e.space, "ndim", 2)
+    if hasattr(e, "mesh"):
+        return getattr(e.mesh, "ndim", 2)
+    for o in e.operands:
+        nd = _expr_ndim(o)
+        if nd is not None:
+            return nd
+    return None
+
+
 class Grad(Expr):
     def __init__(self, a):
         if len(a.shape) > 1:
             raise ValueError("grad of tensors not supported")
         self.a = a
-        self.shape = a.shape + (2,)
+        nd = _expr_ndim(a) or 2
+        self.shape = a.shape + (nd,)
         self._inherit(a)
 
     @property
@@ -285,8 +299,9 @@ class Grad(Expr):
 
 class Div(Expr):
     def __init__(self, a):
-        if a.shape != (2,):
-            raise ValueError("div expects a 2-vector")
+        nd = _expr_ndim(a) or 2
+        if a.shape != (nd,):
+            raise ValueError(f"div expects a {nd}-vector")
         self.a = a
         self.shape = ()
         self._inherit(a)
