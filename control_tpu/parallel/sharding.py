@@ -43,10 +43,11 @@ def make_device_mesh(shape=None, devices=None, axis_names=("sy", "sx")):
 
 
 def grid_sharding(mesh, space, leading_axes=1):
-    """NamedSharding for a stacked grid array (*leading, ny, nx[, comp]):
-    spatial axes sharded over the mesh, leading/time and component axes
-    replicated."""
-    spec = [None] * leading_axes + list(mesh.axis_names)
+    """NamedSharding for a stacked grid array (*leading, [nz,] ny, nx
+    [, comp]): the trailing two spatial axes sharded over the mesh,
+    leading/time, z (3-D) and component axes replicated."""
+    spec = ([None] * leading_axes + [None] * (space.ndim - 2)
+            + list(mesh.axis_names))
     if space.dim is not None:
         spec.append(None)
     return NamedSharding(mesh, P(*spec))
@@ -67,9 +68,9 @@ def make_time_mesh(n_devices=None, devices=None):
 
 
 def time_sharding(mesh, space):
-    """NamedSharding for a stacked grid array (n_blocks, ny, nx[, comp]):
-    the time-block axis sharded, spatial axes replicated."""
-    spec = ["t", None, None]
+    """NamedSharding for a stacked grid array (n_blocks, [nz,] ny, nx
+    [, comp]): the time-block axis sharded, spatial axes replicated."""
+    spec = ["t"] + [None] * space.ndim
     if space.dim is not None:
         spec.append(None)
     return NamedSharding(mesh, P(*spec))

@@ -12,6 +12,11 @@ LAMBDA_BOUNDS = {
     ("quad", 2): (0.25, 1.5625),
     ("tri", 1): (0.5, 2.0),
     ("tri", 2): (0.3923, 2.0599),
+    # tensor-product spaces: the Jacobi-scaled mass factorises exactly
+    # (diag of a Kronecker product is the Kronecker product of diags), so
+    # hex bounds are the cubes of the 1-D bounds behind the quad entries
+    ("hex", 1): (0.125, 3.375),
+    ("hex", 2): (0.125, 1.953125),
 }
 
 

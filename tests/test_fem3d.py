@@ -85,3 +85,19 @@ def test_poisson_3d_convergence():
     assert e2 < e1
     order = np.log2(e1 / e2)
     assert order > 1.7          # Q1: second order in h
+
+
+@pytest.mark.parametrize("degree", [1, 2])
+def test_hex_mass_spectral_bounds(degree):
+    """The shipped hex Chebyshev bounds contain the Jacobi-scaled mass
+    spectrum (tensor-product factorisation of the 1-D bounds)."""
+    from control_tpu.fem import TrialFunction as Tr
+    from control_tpu.utils.spectral import mass_lambda_bounds
+    mesh = UnitCubeMesh(3, 3, 3)
+    V = FunctionSpace(mesh, "Lagrange", degree)
+    u, v = Tr(V), TestFunction(V)
+    M = np.asarray(assemble(inner(u, v) * dx).to_dense())
+    d = np.sqrt(np.diag(M))
+    lam = np.linalg.eigvalsh(M / d[:, None] / d[None, :])
+    lo, hi = mass_lambda_bounds(V)
+    assert lo <= lam[0] + 1e-12 and lam[-1] <= hi + 1e-12

@@ -81,3 +81,50 @@ def test_entry_compiles():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert all(bool(jnp.all(jnp.isfinite(o))) for o in out)
+
+
+def test_sharded_3d_solve_matches_single_device():
+    """Spatial sharding of a 3-D (hex) all-at-once solve: the last two
+    grid axes (y, x) shard over the device mesh, z stays local."""
+    assert len(jax.devices()) >= 8
+    from control_tpu import (Control, UnitCubeMesh, FunctionSpace, Function,
+                             DirichletBC, grad, inner, dx)
+    import __graft_entry__ as g
+    mesh3 = UnitCubeMesh(7, 7, 4)   # (8, 8) y/x nodes divide the 2x4 mesh
+    space = FunctionSpace(mesh3, "Lagrange", 1)
+
+    def fdo(trial, test, u, t):
+        return inner(grad(trial), grad(test)) * dx
+
+    def ds_(test, t):
+        return inner(Function(space), test) * dx, Function(space)
+
+    def ff(test, t):
+        f = Function(space)
+        f.data = f.data + 1.0
+        return inner(f, test) * dx
+
+    def bc_t(s, t):
+        return DirichletBC(s, 0.0, "on_boundary")
+
+    ctl = Control.Instationary(space, fdo, desired_state=ds_, force_f=ff,
+                               beta=1e-3, n_t=4, time_interval=(0.0, 1.0),
+                               CN=True, bcs_v=bc_t)
+    system, pc, b_0, b_1 = g._solve_pieces(ctl,
+                                           lambda_v_bounds=(0.125, 3.375))
+    params = {"linear_solver": "gmres", "gmres_restart": 10,
+              "maximum_iterations": 40, "relative_tolerance": 1e-8,
+              "absolute_tolerance": 0.0}
+    solve = jax.jit(system.solve_fn(solver_parameters=params, pc_fn=pc))
+    u0 = 0.0 * b_0
+    v_ref, z_ref, info_ref = solve(u0, u0, b_0, b_1)
+
+    mesh = make_device_mesh(devices=jax.devices()[:8])
+    b_0s = shard_stack(b_0, mesh, space)
+    b_1s = shard_stack(b_1, mesh, space)
+    u0s = shard_stack(u0, mesh, space)
+    v_s, z_s, info_s = solve(u0s, u0s, b_0s, b_1s)
+
+    assert int(info_s["iterations"]) == int(info_ref["iterations"])
+    assert float(jnp.abs(v_s - v_ref).max()) < 1e-11
+    assert float(jnp.abs(z_s - z_ref).max()) < 1e-11
