@@ -8,47 +8,58 @@ import numpy as np
 
 
 def _grid_xyz(space):
-    X, Y = space.node_coords()
-    return X, Y
+    """Coordinate arrays flattened x-fastest, plus (nx, ny, nz) counts."""
+    coords = space.node_coords()
+    if len(coords) == 3:
+        X, Y, Z = coords
+        nz, ny, nx = X.shape
+    else:
+        X, Y = coords
+        Z = np.zeros_like(X)
+        ny, nx = X.shape
+        nz = 1
+    return (X.ravel(), Y.ravel(), Z.ravel()), (nx, ny, nz)
 
 
 def write_vtk(filename, space, fields, time=None):
-    """Legacy-VTK structured-grid writer (ASCII)."""
-    X, Y = _grid_xyz(space)
-    ny, nx = X.shape
+    """Legacy-VTK structured-grid writer (ASCII), 2-D and 3-D."""
+    (Xf, Yf, Zf), (nx, ny, nz) = _grid_xyz(space)
+    npts = nx * ny * nz
     with open(filename, "w") as fh:
         fh.write("# vtk DataFile Version 3.0\n")
         fh.write(f"control_tpu output{'' if time is None else f' t={time}'}\n")
         fh.write("ASCII\nDATASET STRUCTURED_GRID\n")
-        fh.write(f"DIMENSIONS {nx} {ny} 1\n")
-        fh.write(f"POINTS {nx * ny} double\n")
-        for j in range(ny):
-            for i in range(nx):
-                fh.write(f"{X[j, i]} {Y[j, i]} 0.0\n")
-        fh.write(f"POINT_DATA {nx * ny}\n")
+        fh.write(f"DIMENSIONS {nx} {ny} {nz}\n")
+        fh.write(f"POINTS {npts} double\n")
+        for x, y, z in zip(Xf, Yf, Zf):
+            fh.write(f"{x} {y} {z}\n")
+        fh.write(f"POINT_DATA {npts}\n")
         for name, data in fields.items():
             arr = np.asarray(data)
-            if arr.ndim == 2:
+            if space.dim is None:
                 fh.write(f"SCALARS {name} double 1\nLOOKUP_TABLE default\n")
-                for j in range(ny):
-                    for i in range(nx):
-                        fh.write(f"{arr[j, i]}\n")
+                for v in arr.ravel():
+                    fh.write(f"{v}\n")
             else:
                 fh.write(f"VECTORS {name} double\n")
-                for j in range(ny):
-                    for i in range(nx):
-                        fh.write(f"{arr[j, i, 0]} {arr[j, i, 1]} 0.0\n")
+                comps = arr.reshape(-1, space.dim)
+                for row in comps:
+                    z = row[2] if space.dim > 2 else 0.0
+                    fh.write(f"{row[0]} {row[1]} {z}\n")
 
 
 def write_solution(name, fn, directory="."):
     """Checkpoint a Function: ``<name>.npz`` (+ best-effort .vtk)."""
     path = os.path.join(directory, f"{name}.npz")
+    m = fn.space.mesh
+    mesh_n = ([m.nx, m.ny, m.nz] if fn.space.ndim == 3 else [m.nx, m.ny])
+    box = [m.x0, m.x1, m.y0, m.y1]
+    if fn.space.ndim == 3:
+        box += [m.z0, m.z1]
     np.savez(path, data=np.asarray(fn.data),
              degree=fn.space.degree,
              dim=-1 if fn.space.dim is None else fn.space.dim,
-             mesh=np.array([fn.space.mesh.nx, fn.space.mesh.ny]),
-             box=np.array([fn.space.mesh.x0, fn.space.mesh.x1,
-                           fn.space.mesh.y0, fn.space.mesh.y1]))
+             mesh=np.array(mesh_n), box=np.array(box))
     try:
         write_vtk(os.path.join(directory, f"{name}.vtk"), fn.space,
                   {name: fn.data})

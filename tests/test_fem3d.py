@@ -101,3 +101,19 @@ def test_hex_mass_spectral_bounds(degree):
     lam = np.linalg.eigvalsh(M / d[:, None] / d[None, :])
     lo, hi = mass_lambda_bounds(V)
     assert lo <= lam[0] + 1e-12 and lam[-1] <= hi + 1e-12
+
+
+def test_io_roundtrip_3d(tmp_path):
+    from control_tpu.utils.io import write_solution, load_solution, write_vtk
+    mesh = UnitCubeMesh(3, 2, 2)
+    V = FunctionSpace(mesh, "Lagrange", 1)
+    X = SpatialCoordinate(mesh)
+    f = Function(V).interpolate(X[0] + 2.0 * X[1] + 3.0 * X[2])
+    write_solution("f3d", f, directory=str(tmp_path))
+    g = load_solution("f3d", V, directory=str(tmp_path))
+    assert np.abs(np.asarray(g.data) - np.asarray(f.data)).max() == 0.0
+    # explicit VTK write must not raise and must carry the 3-D dimensions
+    p = tmp_path / "f3d_explicit.vtk"
+    write_vtk(str(p), V, {"f": f.data})
+    txt = p.read_text()
+    assert "DIMENSIONS 4 3 3" in txt
