@@ -278,10 +278,14 @@ class _QCtx:
         self.dtype = dtype
         pts, w = elements.cell_quadrature(mesh.cell, nq1d)
         self.qpts = pts                           # (Q,ndim) cell-ref, numpy
-        vol = mesh.hx * mesh.hy * (mesh.hz if self.ndim == 3 else 1.0)
+        # keep the 2-D product order w*hx*hy (not w*(hx*hy)): bitwise
+        # identity with the extensively-tested 2-D assembly
+        w_phys = w * mesh.hx * mesh.hy
+        if self.ndim == 3:
+            w_phys = w_phys * mesh.hz
         self._h = (np.array([mesh.hx, mesh.hy, mesh.hz]) if self.ndim == 3
                    else np.array([mesh.hx, mesh.hy]))
-        self.w_phys = jnp.asarray(w * vol, dtype)
+        self.w_phys = jnp.asarray(w_phys, dtype)
         self.Q = len(w)
         self._tab = {}
         self._coef = {}

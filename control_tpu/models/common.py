@@ -225,6 +225,25 @@ class BlockSolver:
         return b / self.diag
 
 
+def regularized_stiffness(K_op, M_op, eps=1.0e-6):
+    """K + c*M with c = eps * max|diag K| / max|diag M|.
+
+    The pressure stiffness of an enclosed-flow (pure-Neumann) problem is
+    singular (constant nullspace; the reference hands it to BoomerAMG,
+    which is benign, control/control.py:941-949); this framework's
+    hierarchy ends in a DENSE coarse inverse, and inverting a singular
+    matrix amplifies last-ulp assembly noise by ~1/eps_machine (observed:
+    a one-ulp change in the quadrature weights doubled the outer
+    iteration count of the instationary incompressible solve).  A
+    mass-shift of relative size eps makes the coarse solve well-posed
+    while perturbing the preconditioner only at O(eps)."""
+    dK = jnp.max(jnp.abs(K_op.diag()))
+    dM = jnp.max(jnp.abs(M_op.diag()))
+    c = eps * dK / dM          # traceable: runs inside the solve kernels
+    from ..ops.local_op import LocalOp
+    return LocalOp(K_op.A + c * M_op.A, K_op.trial_space, K_op.test_space)
+
+
 def mass_solver(M_op, mask, multigrid_flag, lambda_bounds, state=None):
     """The reference's (1,1)-block solver selection
     (control/control.py:356-394): BoomerAMG when Multigrid=True, Chebyshev

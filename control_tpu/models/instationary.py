@@ -1711,11 +1711,13 @@ class Instationary:
                                    "gmres_restart": 30},
                 pc_fn=inner_pc)
 
-            K_p = assemble(inner(grad(p_trial), grad(p_test)) * dx)
+            p00, p01, p10, p11, M_p = self._p_kkt_dicts(Dp_A)
+            from .common import regularized_stiffness
+            K_p = regularized_stiffness(
+                assemble(inner(grad(p_trial), grad(p_test)) * dx), M_p)
             solver_K_p = BlockSolver(K_p, None, ("mg", 1),
                                      state=None if pc_state is None
                                      else pc_state["K_p"])
-            p00, p01, p10, p11, M_p = self._p_kkt_dicts(Dp_A)
             solver_M_p = mass_solver(M_p, None, False, lambda_p_bounds,
                                      state=None if pc_state is None
                                      else pc_state["M_p"])

@@ -578,8 +578,10 @@ class Stationary:
                None if P is None else id(P), id(nullspace_p),
                id(space_v), id(space_p))
 
-        K_p = assemble(inner(grad(p_trial), grad(p_test)) * dx)
         M_p = assemble(inner(p_trial, p_test) * dx)
+        from .common import regularized_stiffness
+        K_p = regularized_stiffness(
+            assemble(inner(grad(p_trial), grad(p_test)) * dx), M_p)
         M_p_op = assemble(self._M_p) if self._M_p is not None else M_p
         M_mu_base = (assemble(self._M_mu) if self._M_mu is not None
                      else M_p)
