@@ -135,4 +135,48 @@ def build_extra(config):
             return ctl.last_solve_info
         return run
 
+    if config == "heat3d":
+        # 3-D instationary heat control (capability extension; 64^3 Q1,
+        # n_t=16, CN, ParaDiag sweeps)
+        import os
+        n3 = int(os.environ.get("BENCH3D_N", "64"))
+        nt3 = int(os.environ.get("BENCH3D_NT", "16"))
+        from control_tpu import UnitCubeMesh
+        mesh = UnitCubeMesh(n3, n3, n3, dtype=dtype)
+        space = FunctionSpace(mesh, "Lagrange", 1)
+        X = SpatialCoordinate(mesh)
+
+        def fdo(trial, test, u, t):
+            return inner(grad(trial), grad(test)) * dx
+
+        def ds_(test, t):
+            v_d = Function(space).interpolate(
+                sin(pi * X[0]) * sin(pi * X[1]) * sin(pi * X[2]))
+            return inner(v_d, test) * dx, v_d
+
+        def ff(test, t):
+            return inner(Function(space), test) * dx
+
+        def bc_t(s, t):
+            return DirichletBC(s, 0.0, "on_boundary")
+
+        ctl = Control.Instationary(space, fdo, desired_state=ds_,
+                                   force_f=ff, beta=1e-4, n_t=nt3,
+                                   time_interval=(0.0, 2.0), CN=True,
+                                   bcs_v=bc_t)
+        ctl.set_schur_sweep("paradiag")
+
+        def run():
+            ctl.linear_solve(
+                lambda_v_bounds=(0.125, 3.375),
+                solver_parameters={"linear_solver": "gmres",
+                                   "gmres_restart": 10,
+                                   "maximum_iterations": 50,
+                                   "relative_tolerance": 1.0e-6,
+                                   "absolute_tolerance": 0.0,
+                                   "monitor_convergence": False},
+                print_error=False, create_output=False, plots=False)
+            return ctl.last_solve_info
+        return run
+
     raise ValueError(f"unknown BENCH_CONFIG {config!r}")
