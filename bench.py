@@ -27,6 +27,9 @@ import subprocess
 import sys
 import time
 
+# benign same-machine AOT-loader feature-mismatch spam (see tests/conftest)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 import numpy as np
 
 # full f32 on the MXU: the default (bf16-pass) matmul precision stalls the
@@ -35,6 +38,11 @@ import jax  # noqa: E402
 if "--cpu-proxy" in sys.argv:
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# persistent executable cache: first-call compile (minutes at production
+# shapes) becomes a one-time cost per (shape, config) across processes
+from control_tpu.config import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
 
 N = int(os.environ.get("BENCH_N", "256"))
 N_T = int(os.environ.get("BENCH_NT", "64"))

@@ -9,6 +9,12 @@ reference test/test_control.py:21-23).
 
 import os
 
+# silence XLA:CPU's AOT-loader feature-mismatch log spam: cached CPU
+# executables record the pseudo tuning flags +prefer-no-{scatter,gather},
+# which host detection never reports, so every persistent-cache load logs
+# a (benign, same-machine) ERROR-level mismatch
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 # must be set before jax initializes a backend
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -21,3 +27,9 @@ import jax  # noqa: E402
 # the env var alone does not override the axon TPU plugin; the config does
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent executable cache: repeated suite runs skip recompilation of
+# unchanged solve kernels (cache keys cover the program + compile flags,
+# so code changes invalidate naturally)
+from control_tpu.config import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()

@@ -1,0 +1,197 @@
+#!/usr/bin/env python3
+"""Component-level timing of the instationary heat-control preconditioner
+(the TPU bench's hot loop): full solve kernel, one outer-operator matvec,
+one pc application, and the pc's internals (time-axis DFT matmuls, batched
+complex multi-V-cycle, mass Chebyshev, defect-correction factor apply).
+
+Usage:  python tools/profile_pc.py            # 256x256, n_t=64 (bench cfg)
+        PROF_N=64 PROF_NT=16 python tools/profile_pc.py
+
+Each component is jitted separately with its real inputs and timed via
+models.common.run_kernel (hard-synced through a host copy: the tunneled
+axon backend's block_until_ready can return early), best of PROF_REPEATS.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+jax.config.update("jax_default_matmul_precision", "highest")
+from control_tpu.config import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
+
+N = int(os.environ.get("PROF_N", "256"))
+N_T = int(os.environ.get("PROF_NT", "64"))
+REPEATS = int(os.environ.get("PROF_REPEATS", "5"))
+
+
+def build():
+    from control_tpu import (Control, UnitSquareMesh, FunctionSpace,
+                             Function, DirichletBC, SpatialCoordinate,
+                             grad, inner, dx, cos, pi)
+    mesh = UnitSquareMesh(N, N, quadrilateral=True)
+    space = FunctionSpace(mesh, "Lagrange", 1)
+    X = SpatialCoordinate(mesh)
+
+    def forw_diff_operator(trial, test, u, t):
+        return inner(grad(trial), grad(test)) * dx
+
+    def desired_state(test, t):
+        v_d = Function(space).interpolate(
+            cos(0.5 * pi * (X[0] - 1.0)) * cos(0.5 * pi * (X[1] - 1.0)))
+        return inner(v_d, test) * dx, v_d
+
+    def force_f(test, t):
+        return inner(Function(space), test) * dx
+
+    def bc_t(space_0, t):
+        return DirichletBC(space_0, 0.0, "on_boundary")
+
+    ctl = Control.Instationary(
+        space, forw_diff_operator, desired_state=desired_state,
+        force_f=force_f, beta=1e-4, n_t=N_T, time_interval=(0.0, 2.0),
+        CN=True, bcs_v=bc_t)
+    ctl.set_schur_sweep("paradiag")
+    return ctl, space
+
+
+def timed(name, fn, *args, results=None):
+    """jit fn, run once to compile, then best-of-REPEATS via run_kernel."""
+    from control_tpu.models import common
+    jfn = jax.jit(fn)
+    t0 = time.time()
+    common.run_kernel(jfn, *args)
+    compile_s = time.time() - t0
+    best = {}
+    for _ in range(REPEATS):
+        common.run_kernel(jfn, *args)
+        t = dict(common.LAST_TIMING)
+        if not best or t["kernel_s"] < best["kernel_s"]:
+            best = t
+    row = {"component": name,
+           "kernel_ms": round(best["kernel_s"] * 1e3, 3),
+           "compile_s": round(compile_s, 2)}
+    for k in ("h2d_s", "d2h_s"):
+        if k in best:
+            row[k.replace("_s", "_ms")] = round(best[k] * 1e3, 3)
+    print(json.dumps(row), flush=True)
+    if results is not None:
+        results.append(row)
+    return row
+
+
+def main():
+    from control_tpu.models.common import host_setup, to_device
+    from control_tpu.fem.space import homogenize, combine_masks
+
+    with host_setup():
+        ctl, space = build()
+        bcs = homogenize(ctl._bcs_v[1])
+        mask = combine_masks(space, bcs)
+        Dv_A = ctl._D_stack(ctl._v.data)
+        b00, b01, b10, b11, M = ctl._blocks(Dv_A)
+        pc = ctl.construct_pc(False, (0.25, 2.25), mask, Dv_A, M)
+        state = to_device(pc.state)
+        pc_dev = ctl.construct_pc(False, (0.25, 2.25), mask, Dv_A, M,
+                                  prebuilt=state)
+        v_0 = ctl._initial_state()
+        b_0, b_1 = ctl._build_rhs(None, None, v_0, Dv_A, M, mask, False,
+                                  ctl._bcs_v)
+        fwd_state = state["fwd"]
+        # rebuild a standalone fwd ParaDiag sweep with device state
+        from control_tpu.models.instationary import _ParaDiagSweep
+        n = ctl._n_t - 1
+        tau, beta = ctl._tau, ctl._beta
+        c = 0.5 * tau / beta ** 0.5
+        M_A = M.A
+        F_diag = (0.5 * tau * Dv_A[0] + M_A + c * M_A)[None]
+        F_sub = (0.5 * tau * Dv_A[0] - M_A + c * M_A)[None]
+        from control_tpu.models.common import decode_complex
+        fwd = _ParaDiagSweep(space, mask, F_diag, F_sub, n,
+                             state={**fwd_state,
+                                    "params": fwd_state["params"]})
+
+    results = []
+    dev_b0 = jax.device_put(b_0)
+    dev_b1 = jax.device_put(b_1)
+
+    # 1. one full pc application
+    timed("pc_apply", lambda a, b: pc_dev(a, b), dev_b0, dev_b1,
+          results=results)
+
+    # 2. one ParaDiag sweep solve (fwd): DFT + batched V-cycles + IDFT
+    #    (+ 1 defect step = 2 circulant solves + 1 factor apply)
+    timed("paradiag_sweep", lambda b: fwd.solve(b, False), dev_b1,
+          results=results)
+
+    # 3. circulant solve only (no defect correction)
+    timed("circulant_solve", lambda b: fwd._circulant_solve(b), dev_b1,
+          results=results)
+
+    # 4. DFT pair only
+    Wf, Wb = fwd._Wf, fwd._Wb
+
+    def dft_pair(b):
+        g = b.astype(Wf.dtype)
+        ghat = jnp.einsum("kj,j...->k...", Wf, g,
+                          precision=jax.lax.Precision.HIGHEST)
+        return jnp.real(jnp.einsum("jk,k...->j...", Wb, ghat,
+                                   precision=jax.lax.Precision.HIGHEST))
+
+    timed("dft_pair", dft_pair, dev_b1, results=results)
+
+    # 5. batched complex multi-V-cycle only
+    n_f = n // 2 + 1
+    ghat = jnp.asarray(
+        np.random.default_rng(0).standard_normal((n_f,) + b_1.shape[1:])
+        + 1j * np.random.default_rng(1).standard_normal(
+            (n_f,) + b_1.shape[1:]), fwd._Wf.dtype)
+    params = fwd.params
+    timed("freq_vcycles_x2",
+          lambda g: fwd.config.apply(params, g, cycles=fwd.cycles),
+          jax.device_put(ghat), results=results)
+
+    # 6. mass Chebyshev (the (1,1) block solve, 20 its over all blocks)
+    solver_0 = None
+    from control_tpu.models.common import mass_solver
+    with host_setup():
+        solver_0 = mass_solver(M, mask, False, (0.25, 2.25),
+                               state=state["solver_0"])
+    timed("mass_chebyshev20", lambda b: solver_0(b), dev_b0,
+          results=results)
+
+    # 7. defect-correction factor apply
+    timed("factor_apply", lambda u: fwd._factor_apply(u), dev_b1,
+          results=results)
+
+    # 8. outer KKT operator matvec
+    from control_tpu.solvers.block import (MultiBlockSystem,
+                                           DirichletBCNullspace)
+    with host_setup():
+        ns = DirichletBCNullspace(bcs)
+        system = MultiBlockSystem(
+            space, space, block_00=b00, block_01=b01, block_10=b10,
+            block_11=b11, n_blocks_00=n, n_blocks_11=n,
+            nullspace_0=tuple(ns for _ in range(n)),
+            nullspace_1=tuple(ns for _ in range(n)), CN=True)
+    timed("kkt_matvec", lambda a, b: system.mult(a, b), dev_b0, dev_b1,
+          results=results)
+
+    total_pc = results[0]["kernel_ms"]
+    parts = {r["component"]: r["kernel_ms"] for r in results}
+    print(json.dumps({"summary": parts, "pc_total_ms": total_pc,
+                      "n": N, "n_t": N_T,
+                      "backend": jax.default_backend()}))
+
+
+if __name__ == "__main__":
+    main()
