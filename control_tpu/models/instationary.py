@@ -40,18 +40,37 @@ from .common import (mass_solver, zero_rows, gauss_newton_operator,
                      residual_vector, bc_lift_function)
 
 
-def _form_contains(form, obj):
-    found = [False]
+def _probe_form_dependence(form_fn, space, coeff_space, t_samples):
+    """Whether the operator assembled from ``form_fn(trial, test, v, t)``
+    (trial/test on ``space``, state coefficient ``v`` on ``coeff_space``)
+    depends on the state ``v`` / the time ``t``.
 
-    def visit(e):
-        if e is obj:
-            found[0] = True
-        for o in e.operands:
-            visit(o)
+    Expression-tree containment misses coefficients produced EAGERLY from
+    ``v``/``t`` inside the user callback (e.g.
+    ``Function(W).interpolate(w(t))``: the form then holds a plain
+    Function whose *data* encodes the dependence).  So probe numerically:
+    assemble at two state samples / two time samples and compare.  A form
+    whose assembled operators coincide at both samples is treated as
+    independent (ties are measure-zero for the deterministic non-constant
+    probe state used here)."""
+    trial = TrialFunction(space)
+    test = TestFunction(space)
+    t0, t1 = float(t_samples[0]), float(t_samples[1])
 
-    for e, _ in form.integrals:
-        visit(e)
-    return found[0]
+    def build(vdata, t):
+        vfun = Function(coeff_space, data=vdata)
+        return assemble(form_fn(trial, test, vfun, Constant(t))).A
+
+    z = jnp.zeros(coeff_space.grid_shape, dtype=coeff_space.mesh.dtype)
+    # deterministic, smooth, non-constant probe state (robust under the
+    # quadrature of typical convection terms; random data would make
+    # dep_v flicker across runs)
+    probe = jnp.arange(z.size, dtype=z.dtype).reshape(z.shape)
+    probe = 0.5 + probe / max(z.size - 1, 1)
+    A00 = build(z, t0)
+    dep_v = not bool(jnp.array_equal(A00, build(probe, t0)))
+    dep_t = not bool(jnp.array_equal(A00, build(z, t1)))
+    return dep_v, dep_t
 
 
 def _stack_apply(space_trial, space_test, A, x):
@@ -598,13 +617,21 @@ class Instationary:
                                      v_state, extra_args=(Constant(t),))
 
     def _probe_dependence(self):
-        """Whether the forward form depends on the state / time."""
-        trial = TrialFunction(self._space_v)
-        test = TestFunction(self._space_v)
-        vfun = Function(self._space_v)
-        tc = Constant(self._time_interval[0])
-        form = self._forward_form(trial, test, vfun, tc)
-        return _form_contains(form, vfun), _form_contains(form, tc)
+        """Whether the forward form depends on the state / time (numeric
+        probe; see _probe_form_dependence -- tree containment misses
+        eagerly-interpolated coefficients, silently freezing the operator
+        at t_0)."""
+        cached = getattr(self, "_dep_cache", None)
+        key = (id(self._forward_form), self._time_interval)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        dep = _probe_form_dependence(
+            self._forward_form, self._space_v, self._space_v,
+            (self._time_interval[0],
+             self._time_interval[0]
+             + 0.618 * (self._time_interval[1] - self._time_interval[0])))
+        self._dep_cache = (key, dep)
+        return dep
 
     def _D_stack(self, v_old_data):
         """Stacked local matrices (n_t|1, E|1, b, a) of D_v at all time
@@ -1407,11 +1434,11 @@ class Instationary:
         from .common import trial_linearized_operator
         sp_p = self._space_p
         p_trial, p_test = TrialFunction(sp_p), TestFunction(sp_p)
-        vfun = Function(self._space_v)
-        tc = Constant(self._time_interval[0])
-        form = self._forward_form(p_trial, p_test, vfun, tc)
-        dep_v = _form_contains(form, vfun)
-        dep_t = _form_contains(form, tc)
+        dep_v, dep_t = _probe_form_dependence(
+            self._forward_form, sp_p, self._space_v,
+            (self._time_interval[0],
+             self._time_interval[0]
+             + 0.618 * (self._time_interval[1] - self._time_interval[0])))
 
         def one(vdata, t):
             vf = Function(self._space_v, data=vdata)

@@ -273,3 +273,40 @@ def test_instationary_nonlinear_picard():
                                          mask, mask)
         nrm = float(jnp.sqrt(jnp.vdot(r0, r0) + jnp.vdot(r1, r1)))
         assert nrm < 1e-8, (CN, nrm)
+
+
+def test_D_stack_detects_interpolated_time_coefficient():
+    """Forms whose time dependence enters through an EAGERLY interpolated
+    coefficient (Function(W).interpolate(w(t)) inside the form callback)
+    must still produce a time-varying operator stack.  Expression-tree
+    containment missed these (the form holds a plain Function, not the
+    Constant), silently freezing the operator at t_0 -- an O(tau^0)
+    modelling error for time-dependent advection fields."""
+    from control_tpu import VectorFunctionSpace
+    mesh = UnitSquareMesh(4, 4, quadrilateral=True)
+    space = FunctionSpace(mesh, "Lagrange", 1)
+    wspace = VectorFunctionSpace(mesh, "Lagrange", 1)
+    X = SpatialCoordinate(mesh)
+
+    def forw(trial, test, u, t):
+        w = Function(wspace).interpolate((exp(-1.0 * t) * X[1],
+                                          0.0 * X[0]))
+        from control_tpu import dot
+        return (inner(grad(trial), grad(test)) * dx
+                + inner(dot(w, grad(trial)), test) * dx)
+
+    ctl = Control.Instationary(
+        space, forw,
+        desired_state=lambda test, t: (inner(Constant(0.0), test) * dx,
+                                       Function(space)),
+        force_f=lambda test, t: inner(Constant(0.0), test) * dx,
+        beta=1.0, n_t=3, time_interval=(0.0, 1.0), CN=True,
+        initial_condition=lambda test: Function(space),
+        bcs_v=lambda sp, t: DirichletBC(sp, 0.0, "on_boundary"))
+
+    dep_v, dep_t = ctl._probe_dependence()
+    assert not dep_v
+    assert dep_t
+    D = ctl._D_stack(ctl._v.data)
+    assert D.shape[0] == 3
+    assert not np.allclose(np.asarray(D[0]), np.asarray(D[2]))
