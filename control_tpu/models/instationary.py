@@ -267,7 +267,7 @@ class _ParaDiagSweep:
     accurate than the block preconditioner it lives in."""
 
     def __init__(self, space, mask, diag_A, sub_A, n, alpha=None,
-                 cycles=2, state=None, defect_steps=1):
+                 cycles=2, state=None, defect_steps=1, smooth=None):
         if diag_A.shape[0] != 1:
             raise ValueError("ParaDiag requires a Toeplitz (time-"
                              "independent) sweep factor")
@@ -290,7 +290,9 @@ class _ParaDiagSweep:
         # small coarse level: the dense coarse inverse is built per
         # FREQUENCY (n//2+1 complex inversions via real 2x2-block LU);
         # the default 4500-dof coarse level would dominate setup
-        self.config = MGConfig(space, mask, coarse_max_dofs=600)
+        pre, post = smooth if smooth is not None else (8, 8)
+        self.config = MGConfig(space, mask, coarse_max_dofs=600,
+                               pre=pre, post=post)
         from .common import encode_complex, decode_complex
         self.trivial = sub_A is None or n == 1
         if self.trivial:
@@ -847,14 +849,15 @@ class Instationary:
             if F_t is not None:
                 dc = getattr(self, "_paradiag_dc", 1)
                 cyc = getattr(self, "_paradiag_cycles", 2)
+                sm = getattr(self, "_mg_smooth", None)
                 fwd = _ParaDiagSweep(space, mask, F_t, F_sub, n,
                                      alpha=alpha, defect_steps=dc,
-                                     cycles=cyc,
+                                     cycles=cyc, smooth=sm,
                                      state=None if prebuilt is None
                                      else prebuilt["fwd"])
                 bwd = _ParaDiagSweep(space, mask, G_t, G_sup, n,
                                      alpha=alpha, defect_steps=dc,
-                                     cycles=cyc,
+                                     cycles=cyc, smooth=sm,
                                      state=None if prebuilt is None
                                      else prebuilt["bwd"])
                 return fwd, bwd, (lambda solver, b, rev:
@@ -870,12 +873,15 @@ class Instationary:
         return fwd, bwd, self._sweep_fn(c, n, mode=mode)
 
     def set_schur_sweep(self, mode, steps=None, paradiag_alpha=None,
-                        paradiag_defect_steps=None, paradiag_cycles=None):
+                        paradiag_defect_steps=None, paradiag_cycles=None,
+                        smooth=None):
         """Select the Schur substitution strategy ("scan" | "jacobi" |
         "paradiag" | "auto"), optionally fixing the Jacobi step count,
         the ParaDiag circulant parameter alpha, the number of ParaDiag
-        defect-correction steps (default 1), or the V-cycle count of the
-        per-frequency solves (default 2)."""
+        defect-correction steps (default 1), the V-cycle count of the
+        per-frequency solves (default 2), or the (pre, post) Chebyshev
+        smoothing step counts of the ParaDiag frequency V-cycles
+        (default (8, 8))."""
         self._schur_mode = mode
         self._schur_jacobi_steps = steps
         self._paradiag_alpha = paradiag_alpha
@@ -883,6 +889,8 @@ class Instationary:
             self._paradiag_dc = paradiag_defect_steps
         if paradiag_cycles is not None:
             self._paradiag_cycles = paradiag_cycles
+        if smooth is not None:
+            self._mg_smooth = (int(smooth[0]), int(smooth[1]))
 
     def construct_pc(self, Multigrid, lambda_v_bounds, mask, Dv_A, M,
                      epsilon=None, prebuilt=None):
@@ -1175,6 +1183,7 @@ class Instationary:
                getattr(self, "_paradiag_alpha", None),
                getattr(self, "_paradiag_dc", 1),
                getattr(self, "_paradiag_cycles", 2),
+               getattr(self, "_mg_smooth", None),
                getattr(self, "_be_epsilon", 1.0e-3),
                None if P is None else id(P), id(space_v))
 
@@ -1455,6 +1464,60 @@ class Instationary:
         times = jnp.asarray(self._times(), sp_p.mesh.dtype)
         return jax.vmap(one)(v_old_data, times)
 
+    def _divfree_project_initial(self, v_0, B, B_T, M, mask,
+                                 lambda_v_bounds):
+        """M-orthogonal projection of the initial state onto the discrete
+        divergence-free manifold, through bc-preserving updates:
+
+            w = v_0 - Minv B_0^T q,    (B Minv B_0^T) q = B v_0
+
+        with Minv a fixed (Chebyshev) approximate mass inverse restricted
+        to non-Dirichlet rows -- B w then equals the Krylov residual of
+        the q-solve regardless of Minv's accuracy.
+
+        Crank-Nicolson (trapezoid) time stepping is not stiffly accurate,
+        so index-2 constraint inconsistency in the initial data (nodal
+        interpolants of continuously divergence-free fields are NOT
+        discretely divergence-free, B v_0 = O(h^k)) pollutes the error
+        measured against the continuum solution.  Projecting restores
+        consistent initial data.  Note this does NOT recover O(tau^2) for
+        time-varying operators D(t): that order reduction is a property
+        of the discretize-then-optimize trapezoid scheme for the index-2
+        DAE itself (see tests/test_nse_mms.py), which the reference
+        inherits (its CN convergence tests print orders without asserting
+        them, test/test_control.py:5093-5107).
+
+        OPT-IN (``ctl._divfree_initial = True``): exact-solution tests
+        manufacture their rhs from the unprojected v_0, so the default
+        must leave the data untouched."""
+        if not getattr(self, "_divfree_initial", False) or not self._CN:
+            return v_0
+        from ..solvers import krylov
+        from .common import mass_solver, array_token
+        tok = (array_token(v_0.data), id(B))
+        cached = getattr(self, "_divfree_cache", None)
+        if cached is not None and cached[0] == tok:
+            return cached[1]
+
+        minv = mass_solver(M, mask, False, lambda_v_bounds)
+
+        def dropmean(q):
+            return q - jnp.mean(q)
+
+        def S(q):
+            y = zero_rows(mask, B_T.apply(q))
+            return dropmean(B.apply(zero_rows(mask, minv(y[None])[0])))
+
+        rhs = dropmean(B.apply(v_0.data))
+        q, info = krylov.gmres(S, rhs, restart=50, rtol=1e-12,
+                               atol=0.0, maxiter=500)
+        w = Function(self._space_v,
+                     data=v_0.data - zero_rows(
+                         mask, minv(zero_rows(mask,
+                                              B_T.apply(q))[None])[0]))
+        self._divfree_cache = (tok, w)
+        return w
+
     def _incompressible_blocks(self, Dv_A, B, B_T, M=None):
         """The 2n x 2n velocity-KKT + divergence block dicts
         (reference control/control.py:3750-3957)."""
@@ -1636,6 +1699,8 @@ class Instationary:
         B_T = assemble(-inner(p_trial, div(v_test)) * dx)
 
         M = assemble(self._M_v)
+        v_0 = self._divfree_project_initial(v_0, B, B_T, M, mask,
+                                            lambda_v_bounds)
 
         # rhs: velocity part reuses the compressible construction
         b_0_0, b_0_1 = self._build_rhs(v_d, f, v_0, Dv_A, M, mask, inhom,
@@ -1683,6 +1748,7 @@ class Instationary:
                getattr(self, "_paradiag_alpha", None),
                getattr(self, "_paradiag_dc", 1),
                getattr(self, "_paradiag_cycles", 2),
+               getattr(self, "_mg_smooth", None),
                getattr(self, "_be_epsilon", 1.0e-3),
                getattr(self, "_inner_pc_iterations",
                        5 if self._CN else 15),
@@ -1927,9 +1993,6 @@ class Instationary:
         p_old = MixedFunction(space_p, n, data=self._p.data)
         mu_old = MixedFunction(space_p, n, data=self._mu.data)
         v_0 = self._initial_state()
-        if self._CN:
-            v_old.sub(0).assign(v_0)
-        zeta_old.sub(n_t - 1).assign(0.0)
 
         f = self.construct_f()
         v_d = self.construct_v_d()
@@ -1938,6 +2001,12 @@ class Instationary:
         p_trial, p_test = TrialFunction(space_p), TestFunction(space_p)
         B = assemble(-inner(div(v_trial), p_test) * dx)
         B_T = assemble(-inner(p_trial, div(v_test)) * dx)
+        v_0 = self._divfree_project_initial(v_0, B, B_T,
+                                            assemble(self._M_v), mask,
+                                            lambda_v_bounds)
+        if self._CN:
+            v_old.sub(0).assign(v_0)
+        zeta_old.sub(n_t - 1).assign(0.0)
 
         mkv = mask[None] if mask is not None else None
 
