@@ -82,6 +82,45 @@ def shard_time_stack(x, mesh, space):
     return jax.device_put(x, time_sharding(mesh, space))
 
 
+def make_spacetime_mesh(shape=None, devices=None):
+    """A 3-D device mesh ("t", "sy", "sx"): time-block axis x spatial
+    domain decomposition.  ``shape=None`` peels the largest power-of-two
+    factor <= sqrt(n) for time and factorises the rest spatially -- e.g.
+    8 devices -> (2, 2, 2).  Combining both axes is the TPU analogue of
+    running the reference under MPI (space) while ALSO parallelising its
+    serial Python time loop (SURVEY section 5.7): one SPMD program, halo
+    permutes along "sy"/"sx", DFT/cumsum contractions along "t"."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if shape is None:
+        t = 1
+        while t * 2 <= max(1, int(np.sqrt(n))) and n % (t * 2) == 0:
+            t *= 2
+        rest = n // t
+        a = int(np.floor(np.sqrt(rest)))
+        while rest % a:
+            a -= 1
+        shape = (t, a, rest // a)
+    devs = np.asarray(devices[:shape[0] * shape[1] * shape[2]])
+    return Mesh(devs.reshape(shape), ("t", "sy", "sx"))
+
+
+def spacetime_sharding(mesh, space):
+    """NamedSharding for a stacked grid array (n_blocks, [nz,] ny, nx
+    [, comp]): time-block axis over "t", the trailing two spatial axes
+    over "sy"/"sx"."""
+    spec = ["t"] + [None] * (space.ndim - 2) + ["sy", "sx"]
+    if space.dim is not None:
+        spec.append(None)
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_spacetime_stack(x, mesh, space):
+    """Place a stacked grid array onto the 3-D space-time device mesh."""
+    return jax.device_put(x, spacetime_sharding(mesh, space))
+
+
 def shard_problem_state(ctl, mesh):
     """Shard an Instationary problem's state arrays over the device mesh
     (subsequent jitted solves then run SPMD)."""

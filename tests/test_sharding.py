@@ -71,6 +71,37 @@ def test_time_sharded_paradiag_solve_matches_single_device():
     assert float(jnp.abs(z_s - z_ref).max()) < 1e-11
 
 
+def test_spacetime_sharded_solve_matches_single_device():
+    """Combined 3-axis ("t", "sy", "sx") sharding: the time-block axis AND
+    the spatial domain decomposition in one SPMD program (2x2x2 over the 8
+    virtual devices) -- the analogue of the reference running MPI domain
+    decomposition while also parallelising its serial time loop."""
+    from control_tpu.parallel.sharding import (make_spacetime_mesh,
+                                               shard_spacetime_stack)
+    assert len(jax.devices()) >= 8
+    import __graft_entry__ as g
+    ctl, space = g._heat_problem(n=15, n_t=9)   # 8 blocks, 16^2 nodes
+    ctl.set_schur_sweep("paradiag")
+    system, pc, b_0, b_1 = g._solve_pieces(ctl)
+    params = {"linear_solver": "gmres", "gmres_restart": 10,
+              "maximum_iterations": 40, "relative_tolerance": 1e-8,
+              "absolute_tolerance": 0.0}
+    solve = jax.jit(system.solve_fn(solver_parameters=params, pc_fn=pc))
+    u0 = 0.0 * b_0
+    v_ref, z_ref, info_ref = solve(u0, u0, b_0, b_1)
+
+    mesh = make_spacetime_mesh(devices=jax.devices()[:8])
+    assert tuple(mesh.shape.values()) == (2, 2, 2)
+    b_0s = shard_spacetime_stack(b_0, mesh, space)
+    b_1s = shard_spacetime_stack(b_1, mesh, space)
+    u0s = shard_spacetime_stack(u0, mesh, space)
+    v_s, z_s, info_s = solve(u0s, u0s, b_0s, b_1s)
+
+    assert int(info_s["iterations"]) == int(info_ref["iterations"])
+    assert float(jnp.abs(v_s - v_ref).max()) < 1e-11
+    assert float(jnp.abs(z_s - z_ref).max()) < 1e-11
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
