@@ -267,7 +267,8 @@ class _ParaDiagSweep:
     accurate than the block preconditioner it lives in."""
 
     def __init__(self, space, mask, diag_A, sub_A, n, alpha=None,
-                 cycles=2, state=None, defect_steps=1, smooth=None):
+                 cycles=2, state=None, defect_steps=1, smooth=None,
+                 weight_dtype=None):
         if diag_A.shape[0] != 1:
             raise ValueError("ParaDiag requires a Toeplitz (time-"
                              "independent) sweep factor")
@@ -292,7 +293,8 @@ class _ParaDiagSweep:
         # the default 4500-dof coarse level would dominate setup
         pre, post = smooth if smooth is not None else (8, 8)
         self.config = MGConfig(space, mask, coarse_max_dofs=600,
-                               pre=pre, post=post)
+                               pre=pre, post=post,
+                               weight_dtype=weight_dtype)
         from .common import encode_complex, decode_complex
         self.trivial = sub_A is None or n == 1
         if self.trivial:
@@ -850,14 +852,17 @@ class Instationary:
                 dc = getattr(self, "_paradiag_dc", 1)
                 cyc = getattr(self, "_paradiag_cycles", 2)
                 sm = getattr(self, "_mg_smooth", None)
+                wdt = getattr(self, "_mg_weight_dtype", None)
                 fwd = _ParaDiagSweep(space, mask, F_t, F_sub, n,
                                      alpha=alpha, defect_steps=dc,
                                      cycles=cyc, smooth=sm,
+                                     weight_dtype=wdt,
                                      state=None if prebuilt is None
                                      else prebuilt["fwd"])
                 bwd = _ParaDiagSweep(space, mask, G_t, G_sup, n,
                                      alpha=alpha, defect_steps=dc,
                                      cycles=cyc, smooth=sm,
+                                     weight_dtype=wdt,
                                      state=None if prebuilt is None
                                      else prebuilt["bwd"])
                 return fwd, bwd, (lambda solver, b, rev:
@@ -874,14 +879,16 @@ class Instationary:
 
     def set_schur_sweep(self, mode, steps=None, paradiag_alpha=None,
                         paradiag_defect_steps=None, paradiag_cycles=None,
-                        smooth=None):
+                        smooth=None, weight_dtype=None):
         """Select the Schur substitution strategy ("scan" | "jacobi" |
         "paradiag" | "auto"), optionally fixing the Jacobi step count,
         the ParaDiag circulant parameter alpha, the number of ParaDiag
         defect-correction steps (default 1), the V-cycle count of the
-        per-frequency solves (default 2), or the (pre, post) Chebyshev
+        per-frequency solves (default 2), the (pre, post) Chebyshev
         smoothing step counts of the ParaDiag frequency V-cycles
-        (default (8, 8))."""
+        (default (8, 8)), or the storage dtype of the smoothing kernels'
+        stencil-weight planes (e.g. "bfloat16"; field arithmetic stays in
+        the solve dtype)."""
         self._schur_mode = mode
         self._schur_jacobi_steps = steps
         self._paradiag_alpha = paradiag_alpha
@@ -891,6 +898,8 @@ class Instationary:
             self._paradiag_cycles = paradiag_cycles
         if smooth is not None:
             self._mg_smooth = (int(smooth[0]), int(smooth[1]))
+        if weight_dtype is not None:
+            self._mg_weight_dtype = str(weight_dtype)
 
     def construct_pc(self, Multigrid, lambda_v_bounds, mask, Dv_A, M,
                      epsilon=None, prebuilt=None):
@@ -1184,6 +1193,7 @@ class Instationary:
                getattr(self, "_paradiag_dc", 1),
                getattr(self, "_paradiag_cycles", 2),
                getattr(self, "_mg_smooth", None),
+               getattr(self, "_mg_weight_dtype", None),
                getattr(self, "_be_epsilon", 1.0e-3),
                None if P is None else id(P), id(space_v))
 
@@ -1749,6 +1759,7 @@ class Instationary:
                getattr(self, "_paradiag_dc", 1),
                getattr(self, "_paradiag_cycles", 2),
                getattr(self, "_mg_smooth", None),
+               getattr(self, "_mg_weight_dtype", None),
                getattr(self, "_be_epsilon", 1.0e-3),
                getattr(self, "_inner_pc_iterations",
                        5 if self._CN else 15),

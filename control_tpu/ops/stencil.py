@@ -279,7 +279,7 @@ def _expand_bound(s, b):
 
 def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
                       want_residual=False, use_pallas=None,
-                      interpret=False):
+                      interpret=False, weight_dtype=None):
     """``steps`` Chebyshev-Jacobi smoothing iterations (+ optionally the
     final residual) as ONE fused kernel on TPU.
 
@@ -287,6 +287,15 @@ def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
     theta/delta: scalars or per-batch (n,) vectors (traced ok).  Complex
     operators (the ParaDiag frequency blocks) run as a re/im-pair Pallas
     kernel.  Returns x (and r = b - A x).
+
+    ``weight_dtype`` (e.g. "bfloat16") stores the stencil-weight and
+    Jacobi-diagonal planes in a narrower dtype while all field arithmetic
+    stays in ``b.dtype``: the weight planes are the dominant share of the
+    kernel's HBM/VMEM traffic (2K re/im planes vs ~8 field planes for the
+    complex ParaDiag blocks), so this halves the bandwidth bill for an
+    O(weight-rounding) operator perturbation -- which the ParaDiag defect
+    correction absorbs like any other inexact frequency solve.  The XLA
+    fallback applies the same rounding so both paths match numerically.
     """
     d = degree
     if _is_vector_stencil(w, b):
@@ -305,11 +314,24 @@ def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
     if use_pallas and is_complex:
         return _fused_cheb_complex(w, dinv, b, x0, steps, theta, delta,
                                    degree, want_residual=want_residual,
-                                   interpret=interpret)
+                                   interpret=interpret,
+                                   weight_dtype=weight_dtype)
 
     sigma1 = theta / delta
 
     if not use_pallas:
+        if weight_dtype is not None:
+            # mirror the kernel's weight rounding in the fallback
+            wdt = jnp.dtype(weight_dtype)
+            if is_complex:
+                rdt = jnp.real(b).dtype
+                w = (jnp.real(w).astype(wdt).astype(rdt)
+                     + 1j * jnp.imag(w).astype(wdt).astype(rdt))
+                dinv = (jnp.real(dinv).astype(wdt).astype(rdt)
+                        + 1j * jnp.imag(dinv).astype(wdt).astype(rdt))
+            else:
+                w = w.astype(wdt).astype(b.dtype)
+                dinv = dinv.astype(wdt).astype(b.dtype)
         from jax import lax as _lax
         theta_b = _expand_bound(theta, b)
         delta_b = _expand_bound(delta, b)
@@ -350,6 +372,7 @@ def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
     n = b_b.shape[0]
     w_per_batch = w_b.shape[0] == n and n > 1
     dtype = b.dtype
+    wdt = jnp.dtype(weight_dtype) if weight_dtype is not None else dtype
     # scalar bounds shared across the batch, or per-batch (n,) vectors
     # (batched ParaDiag hierarchies): one (n, 1) SMEM array either way
     th = jnp.broadcast_to(jnp.asarray(theta, dtype).reshape(-1, 1), (n, 1))
@@ -365,23 +388,24 @@ def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
         xp[d:d + ny, d:d + nx] = x_ref[0]
 
         def stencil():
-            acc = w_ref[0, 0] * xp[d + offs[0][0]: d + offs[0][0] + ny,
-                                   d + offs[0][1]: d + offs[0][1] + nx]
+            acc = w_ref[0, 0].astype(dtype) \
+                * xp[d + offs[0][0]: d + offs[0][0] + ny,
+                     d + offs[0][1]: d + offs[0][1] + nx]
             for k in range(1, K):
                 dy, dx_ = offs[k]
-                acc = acc + w_ref[0, k] * xp[d + dy: d + dy + ny,
-                                             d + dx_: d + dx_ + nx]
+                acc = acc + w_ref[0, k].astype(dtype) \
+                    * xp[d + dy: d + dy + ny, d + dx_: d + dx_ + nx]
             return acc
 
         r = b_ref[0] - stencil()
-        p = (r * dinv_ref[0]) / theta_
+        p = (r * dinv_ref[0].astype(dtype)) / theta_
         xp[d:d + ny, d:d + nx] = xp[d:d + ny, d:d + nx] + p
         rho = 1.0 / sigma1_
         for _ in range(steps - 1):
             r = b_ref[0] - stencil()
             rho_new = 1.0 / (2.0 * sigma1_ - rho)
             p = rho_new * rho * p + (2.0 * rho_new / delta_) \
-                * (r * dinv_ref[0])
+                * (r * dinv_ref[0].astype(dtype))
             xp[d:d + ny, d:d + nx] = xp[d:d + ny, d:d + nx] + p
             rho = rho_new
         out_ref[0] = xp[d:d + ny, d:d + nx]
@@ -409,7 +433,8 @@ def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
         out_shape=(jax.ShapeDtypeStruct((n, ny, nx), dtype),
                    jax.ShapeDtypeStruct((n, ny, nx), dtype)),
         scratch_shapes=[pltpu.VMEM((ny + 2 * d, nx + 2 * d), dtype)],
-    )(th, de, w_b, jnp.broadcast_to(dinv_b, b_b.shape),
+    )(th, de, w_b.astype(wdt),
+      jnp.broadcast_to(dinv_b, b_b.shape).astype(wdt),
       b_b, jnp.broadcast_to(x_b, b_b.shape))
     if not batched:
         x_out, r_out = x_out[0], r_out[0]
@@ -417,7 +442,8 @@ def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
 
 
 def _fused_cheb_complex(w, dinv, b, x0, steps, theta, delta, degree,
-                        want_residual=False, interpret=False):
+                        want_residual=False, interpret=False,
+                        weight_dtype=None):
     """Complex fused Chebyshev-Jacobi smoother: the ParaDiag frequency
     blocks (F + mu_k S) are complex, Mosaic is real-only, so the kernel
     streams re/im weight planes through VMEM once and runs all ``steps``
@@ -446,6 +472,7 @@ def _fused_cheb_complex(w, dinv, b, x0, steps, theta, delta, degree,
     if not w_per_batch and w_b.shape[0] != 1:
         raise ValueError("stencil batch mismatch")
     rdtype = jnp.real(b).dtype
+    wdt = jnp.dtype(weight_dtype) if weight_dtype is not None else rdtype
     dinv_b = jnp.broadcast_to(dinv_b, b_b.shape)
     x_b = jnp.broadcast_to(x_b, b_b.shape)
     th = jnp.broadcast_to(
@@ -469,14 +496,18 @@ def _fused_cheb_complex(w, dinv, b, x0, steps, theta, delta, degree,
             dy, dx_ = offs[0]
             sr = xpr[d + dy: d + dy + ny, d + dx_: d + dx_ + nx]
             si = xpi[d + dy: d + dy + ny, d + dx_: d + dx_ + nx]
-            ar = wr_ref[0, 0] * sr - wi_ref[0, 0] * si
-            ai = wr_ref[0, 0] * si + wi_ref[0, 0] * sr
+            wr0 = wr_ref[0, 0].astype(rdtype)
+            wi0 = wi_ref[0, 0].astype(rdtype)
+            ar = wr0 * sr - wi0 * si
+            ai = wr0 * si + wi0 * sr
             for k in range(1, K):
                 dy, dx_ = offs[k]
                 sr = xpr[d + dy: d + dy + ny, d + dx_: d + dx_ + nx]
                 si = xpi[d + dy: d + dy + ny, d + dx_: d + dx_ + nx]
-                ar = ar + wr_ref[0, k] * sr - wi_ref[0, k] * si
-                ai = ai + wr_ref[0, k] * si + wi_ref[0, k] * sr
+                wrk = wr_ref[0, k].astype(rdtype)
+                wik = wi_ref[0, k].astype(rdtype)
+                ar = ar + wrk * sr - wik * si
+                ai = ai + wrk * si + wik * sr
             return ar, ai
 
         def resid():
@@ -485,8 +516,9 @@ def _fused_cheb_complex(w, dinv, b, x0, steps, theta, delta, degree,
 
         def cdinv(rr, ri):
             # (rr + i ri) * (dr + i di)
-            return (rr * dr_ref[0] - ri * di_ref[0],
-                    rr * di_ref[0] + ri * dr_ref[0])
+            dr = dr_ref[0].astype(rdtype)
+            di = di_ref[0].astype(rdtype)
+            return (rr * dr - ri * di, rr * di + ri * dr)
 
         rr, ri = resid()
         zr, zi = cdinv(rr, ri)
@@ -532,8 +564,8 @@ def _fused_cheb_complex(w, dinv, b, x0, steps, theta, delta, degree,
                         pltpu.VMEM((ny + 2 * d, nx + 2 * d), rdtype)],
         interpret=interpret,
         **kwargs,
-    )(th, de, jnp.real(w_b), jnp.imag(w_b),
-      jnp.real(dinv_b), jnp.imag(dinv_b),
+    )(th, de, jnp.real(w_b).astype(wdt), jnp.imag(w_b).astype(wdt),
+      jnp.real(dinv_b).astype(wdt), jnp.imag(dinv_b).astype(wdt),
       jnp.real(b_b), jnp.imag(b_b),
       jnp.real(x_b), jnp.imag(x_b))
     x_out = outs[0] + 1j * outs[1]

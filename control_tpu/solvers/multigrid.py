@@ -290,7 +290,15 @@ class MGConfig:
     """
 
     def __init__(self, space, mask=None, *, levels=None, pre=8, post=8,
-                 coarse_max_dofs=4500, lam_frac=4.0, lam_safety=1.05):
+                 coarse_max_dofs=4500, lam_frac=4.0, lam_safety=1.05,
+                 weight_dtype=None):
+        # weight_dtype (e.g. "bfloat16"): store the stencil-weight planes
+        # of the fused smoothing kernels in a narrower dtype (field
+        # arithmetic stays in the problem dtype) -- halves the smoother's
+        # HBM/VMEM weight traffic for an O(rounding) operator
+        # perturbation.  Stencil fast path only; ignored on the
+        # gather/scatter path.
+        self.weight_dtype = weight_dtype
         # default smoothing strength chosen on the 256^2 x 64 heat
         # benchmark: one V-cycle with 8+8 Chebyshev steps per Schur
         # substitution gives 9 outer GMRES iterations (vs 16-17 with
@@ -440,7 +448,8 @@ class MGConfig:
             theta, delta = self._bounds(params["lams"][..., lvl])
             deg = self.spaces[lvl].degree
             x, r = fused_cheb_smooth(w, dinv, b, x, self.pre, theta, delta,
-                                     deg, want_residual=True)
+                                     deg, want_residual=True,
+                                     weight_dtype=self.weight_dtype)
             rc = tr.restrict(r)
             if mk is not None:
                 rc = jnp.where(mk, 0.0, rc)
@@ -450,7 +459,7 @@ class MGConfig:
                 ec = jnp.where(mk, 0.0, ec)
             x = x + tr.prolong(ec)
             x = fused_cheb_smooth(w, dinv, b, x, self.post, theta, delta,
-                                  deg)
+                                  deg, weight_dtype=self.weight_dtype)
             return x
         x = self._smooth(appliers[lvl], params["diags"][lvl],
                          params["lams"][..., lvl], b, x, self.pre)

@@ -127,3 +127,52 @@ def test_fused_cheb_complex_matches_xla():
     assert float(jnp.max(jnp.abs(ref_x - pal_x))) / scale < 1e-5
     scale_r = float(jnp.max(jnp.abs(ref_r)))
     assert float(jnp.max(jnp.abs(ref_r - pal_r))) / scale_r < 1e-5
+
+
+def test_fused_cheb_weight_dtype_bf16():
+    """weight_dtype="bfloat16": the kernel stores weight/diagonal planes
+    in bf16 and upcasts at use; the XLA fallback applies the same
+    rounding, so both paths agree, and the rounded-weight smoother stays
+    within O(bf16 eps) of the full-precision one."""
+    from control_tpu.ops.stencil import fused_cheb_smooth, \
+        _fused_cheb_complex
+    rng = np.random.default_rng(11)
+    n, K, ny, nx = 3, 9, 17, 17
+    w = jnp.asarray(rng.standard_normal((n, K, ny, nx))
+                    + 1j * rng.standard_normal((n, K, ny, nx)),
+                    jnp.complex64)
+    dinv = jnp.asarray(0.1 * (rng.standard_normal((n, ny, nx))
+                              + 1j * rng.standard_normal((n, ny, nx))),
+                       jnp.complex64)
+    b = jnp.asarray(rng.standard_normal((n, ny, nx))
+                    + 1j * rng.standard_normal((n, ny, nx)), jnp.complex64)
+    theta = jnp.asarray(rng.uniform(1.0, 2.0, n), jnp.float32)
+    delta = jnp.asarray(rng.uniform(0.3, 0.8, n), jnp.float32)
+    x0 = jnp.zeros_like(b)
+    ref_x, ref_r = fused_cheb_smooth(w, dinv, b, x0, 5, theta, delta, 1,
+                                     want_residual=True, use_pallas=False,
+                                     weight_dtype="bfloat16")
+    pal_x, pal_r = _fused_cheb_complex(w, dinv, b, x0, 5, theta, delta, 1,
+                                       want_residual=True, interpret=True,
+                                       weight_dtype="bfloat16")
+    scale = float(jnp.max(jnp.abs(ref_x)))
+    assert float(jnp.max(jnp.abs(ref_x - pal_x))) / scale < 1e-5
+    # rounded weights perturb the result by O(bf16 eps), not more
+    full_x = fused_cheb_smooth(w, dinv, b, x0, 5, theta, delta, 1,
+                               use_pallas=False)
+    rel = float(jnp.max(jnp.abs(full_x - ref_x))) / scale
+    assert 1e-7 < rel < 0.1, rel
+
+    # real path: same contract
+    wr = jnp.asarray(rng.standard_normal((n, K, ny, nx)), jnp.float32)
+    dr = jnp.asarray(0.1 + rng.uniform(0.1, 1.0, (n, ny, nx)),
+                     jnp.float32)
+    br = jnp.asarray(rng.standard_normal((n, ny, nx)), jnp.float32)
+    x0r = jnp.zeros_like(br)
+    ref = fused_cheb_smooth(wr, dr, br, x0r, 4, theta, delta, 1,
+                            use_pallas=False, weight_dtype="bfloat16")
+    full = fused_cheb_smooth(wr, dr, br, x0r, 4, theta, delta, 1,
+                             use_pallas=False)
+    relr = float(jnp.max(jnp.abs(full - ref))) / float(
+        jnp.max(jnp.abs(full)))
+    assert 1e-7 < relr < 0.1, relr

@@ -105,7 +105,8 @@ def main():
                 paradiag_alpha=var.get("alpha"),
                 paradiag_defect_steps=var.get("dc", 1),
                 paradiag_cycles=var.get("cycles", 2),
-                smooth=None if sm is None else tuple(sm))
+                smooth=None if sm is None else tuple(sm),
+                weight_dtype=var.get("weight_dtype"))
 
         def solve():
             return ctl.linear_solve(
@@ -116,6 +117,7 @@ def main():
         row = {"alpha": var.get("alpha", 1e-3), "dc": var.get("dc", 1),
                "cycles": var.get("cycles", 2),
                "smooth": list(var.get("smooth", (8, 8))),
+               "weight_dtype": var.get("weight_dtype"),
                "n": N, "n_t": N_T}
         try:
             t0 = time.time()
