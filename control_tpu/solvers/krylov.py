@@ -95,14 +95,22 @@ def _gmres_impl(A, b, x0, M, restart, rtol, atol, maxiter, flexible,
             else:
                 Z2 = Z
                 w = Mf(Af(V[j]))
-            # modified Gram-Schmidt over rows 0..j
+            # modified Gram-Schmidt over rows 0..j, with a second
+            # (reorthogonalization) pass: in f32 a single MGS sweep loses
+            # basis orthogonality after ~7 vectors and the solve stalls a
+            # restart cycle ~25x above where it should be (observed on the
+            # 128^2x32 heat KKT: 14 its f32 vs 9 f64; 21+ at 256^2x64).
+            # The extra pass costs 2m dot/axpy streams per iteration --
+            # noise next to one preconditioner application -- and restores
+            # f64-quality iteration counts in f32.
             def mgs(k, carry):
                 w, H = carry
                 hkj = jnp.where(k <= j, jnp.vdot(V[k], w), 0.0)
                 w = w - hkj * V[k]
-                H = H.at[k, j].set(hkj)
+                H = H.at[k, j].add(hkj)
                 return (w, H)
 
+            w, H = lax.fori_loop(0, m, mgs, (w, H))
             w, H = lax.fori_loop(0, m, mgs, (w, H))
             hj1 = _norm(w)
             H = H.at[j + 1, j].set(hj1)
