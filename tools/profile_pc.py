@@ -64,7 +64,13 @@ def build():
         space, forw_diff_operator, desired_state=desired_state,
         force_f=force_f, beta=1e-4, n_t=N_T, time_interval=(0.0, 2.0),
         CN=True, bcs_v=bc_t)
-    ctl.set_schur_sweep("paradiag")
+    # same knobs as bench.py so the profile reflects the bench pc
+    sm = int(os.environ.get("BENCH_PD_SMOOTH", "4"))
+    ctl.set_schur_sweep(
+        "paradiag",
+        paradiag_cycles=int(os.environ.get("BENCH_PD_CYCLES", "1")),
+        smooth=(sm, sm),
+        weight_dtype=os.environ.get("BENCH_PD_WEIGHT_DTYPE"))
     return ctl, space
 
 
