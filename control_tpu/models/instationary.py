@@ -59,7 +59,10 @@ def _probe_form_dependence(form_fn, space, coeff_space, t_samples):
 
     def build(vdata, t):
         vfun = Function(coeff_space, data=vdata)
-        return assemble(form_fn(trial, test, vfun, Constant(t))).A
+        out = assemble(form_fn(trial, test, vfun, Constant(t)))
+        # residual-style GN forms contain no trial function and assemble
+        # to a Cofunction; compare its vector data instead of a matrix
+        return out.A if hasattr(out, "A") else out.data
 
     z = jnp.zeros(coeff_space.grid_shape, dtype=coeff_space.mesh.dtype)
     # deterministic, smooth, non-constant probe state (robust under the
