@@ -1871,23 +1871,68 @@ class Instationary:
         if host_loop is None:
             host_loop = jax.default_backend() != "cpu"
         if host_loop:
-            # pieces + their jitted programs cached per linearisation
-            # state so repeated same-state solves skip the re-jit
-            htok = (key, array_token(Dv_A),
-                    None if Dp_A is None else array_token(Dp_A))
             if not hasattr(self, "_host_cache"):
                 self._host_cache = {}
-            ent = self._host_cache.get(htok)
-            if ent is None:
-                system, pc_fn = make_pieces(Dv_A, Dp_A, M)
-                ent = self._host_cache[htok] = (system, pc_fn, {})
-            system, pc_fn, store = ent
             u_0_sol = MixedFunction(space_v, 2 * n)
             u_1_sol = MixedFunction(space_p, 2 * n)
-            _hs.close()
-            info = system.solve_host(u_0_sol, u_1_sol, b_0, b_1,
-                                     solver_parameters=solver_parameters,
-                                     pc_fn=pc_fn, jit_store=store)
+            if P is None:
+                # the jitted operator/pc programs take the linearisation
+                # state (Dv_A, Dp_A, pc numeric state) as an ARGUMENT, so
+                # Picard/Gauss-Newton iterations -- which change the state
+                # every outer step -- reuse one compiled executable per
+                # program instead of re-jitting (jit constants would also
+                # overflow the remote TPU AOT serializer at scale)
+                ent = self._host_cache.get(key)
+                if ent is None:
+                    system0 = make_pieces(Dv_A, Dp_A, M)[0]
+
+                    def mult_fn(state, u0, u1):
+                        sys_t, _ = make_pieces(state["Dv"], state["Dp"],
+                                               M, pc_state=state["pc"])
+                        return sys_t.mult(u0, u1)
+
+                    def pc_fn_s(state, b0, b1):
+                        _, pcf = make_pieces(state["Dv"], state["Dp"],
+                                             M, pc_state=state["pc"])
+                        return pcf(b0, b1)
+
+                    ent = self._host_cache[key] = (system0, mult_fn,
+                                                   pc_fn_s, {})
+                system0, mult_fn, pc_fn_s, store = ent
+                # pc numeric state per linearisation (host-built, cached)
+                if not hasattr(self, "_pc_state_cache"):
+                    self._pc_state_cache = {}
+                tok = (key, array_token(Dv_A), array_token(Dp_A))
+                pc_state = self._pc_state_cache.get(tok)
+                if pc_state is None:
+                    if len(self._pc_state_cache) > 4:
+                        self._pc_state_cache.clear()
+                    from .common import to_device
+                    pc_state = to_device(
+                        make_pieces(Dv_A, Dp_A, M)[1].state)
+                    self._pc_state_cache[tok] = pc_state
+                from .common import to_device
+                state = {"Dv": to_device(Dv_A), "Dp": to_device(Dp_A),
+                         "pc": pc_state}
+                _hs.close()
+                info = system0.solve_host(
+                    u_0_sol, u_1_sol, b_0, b_1,
+                    solver_parameters=solver_parameters,
+                    pc_fn=pc_fn_s, jit_store=store, op_state=state,
+                    mult_fn=mult_fn)
+            else:
+                # user-supplied pc: cache pieces per linearisation state
+                htok = (key, array_token(Dv_A))
+                ent = self._host_cache.get(htok)
+                if ent is None:
+                    system, pc_fn = make_pieces(Dv_A, Dp_A, M)
+                    ent = self._host_cache[htok] = (system, pc_fn, {})
+                system, pc_fn, store = ent
+                _hs.close()
+                info = system.solve_host(
+                    u_0_sol, u_1_sol, b_0, b_1,
+                    solver_parameters=solver_parameters,
+                    pc_fn=pc_fn, jit_store=store)
             u0, u1 = u_0_sol.data, u_1_sol.data
         else:
             def builder():

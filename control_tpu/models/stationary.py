@@ -674,27 +674,71 @@ class Stationary:
         if host_loop is None:
             host_loop = _jax.default_backend() != "cpu"
         if host_loop:
-            htok = (key, array_token(D_v.A),
-                    None if P is not None else array_token(D_p.A))
             if not hasattr(self, "_host_cache"):
                 self._host_cache = {}
-            ent = self._host_cache.get(htok)
-            if ent is None:
-                M_v_c = LocalOp(M_v.A, space_v, space_v)
-                M_zeta_c = -(1.0 / beta) * LocalOp(M_zeta_op_A,
-                                                   space_v, space_v)
-                system, pc_fn = make_pieces(
-                    D_v.A, None if P is not None else D_p.A,
-                    M_v_c, M_zeta_c)
-                ent = self._host_cache[htok] = (system, pc_fn, {})
-            system, pc_fn, store = ent
             from ..fem.space import MixedFunction
             u_0_sol = MixedFunction(space_v, 2)
             u_1_sol = MixedFunction(space_p, 2)
-            _hs.close()
-            info = system.solve_host(u_0_sol, u_1_sol, b_0, b_1,
-                                     solver_parameters=solver_parameters,
-                                     pc_fn=pc_fn, jit_store=store)
+            M_v_c = LocalOp(M_v.A, space_v, space_v)
+            M_zeta_c = -(1.0 / beta) * LocalOp(M_zeta_op_A,
+                                               space_v, space_v)
+            if P is None:
+                # state-as-argument programs: Picard/Gauss-Newton
+                # iterations reuse one executable (see the instationary
+                # twin for the rationale)
+                ent = self._host_cache.get(key)
+                if ent is None:
+                    system0 = make_pieces(D_v.A, D_p.A, M_v_c, M_zeta_c)[0]
+
+                    def mult_fn(state, u0, u1):
+                        sys_t, _ = make_pieces(state["Dv"], state["Dp"],
+                                               M_v_c, M_zeta_c,
+                                               pc_state=state["pc"])
+                        return sys_t.mult(u0, u1)
+
+                    def pc_fn_s(state, b0, b1):
+                        _, pcf = make_pieces(state["Dv"], state["Dp"],
+                                             M_v_c, M_zeta_c,
+                                             pc_state=state["pc"])
+                        return pcf(b0, b1)
+
+                    ent = self._host_cache[key] = (system0, mult_fn,
+                                                   pc_fn_s, {})
+                system0, mult_fn, pc_fn_s, store = ent
+                if not hasattr(self, "_pc_state_cache"):
+                    self._pc_state_cache = {}
+                tok = (key, array_token(D_v.A), array_token(D_p.A))
+                pc_state = self._pc_state_cache.get(tok)
+                if pc_state is None:
+                    if len(self._pc_state_cache) > 4:
+                        self._pc_state_cache.clear()
+                    from .common import to_device
+                    pc_state = to_device(
+                        make_pieces(D_v.A, D_p.A, M_v_c,
+                                    M_zeta_c)[1].state)
+                    self._pc_state_cache[tok] = pc_state
+                from .common import to_device
+                state = {"Dv": to_device(D_v.A), "Dp": to_device(D_p.A),
+                         "pc": pc_state}
+                _hs.close()
+                info = system0.solve_host(
+                    u_0_sol, u_1_sol, b_0, b_1,
+                    solver_parameters=solver_parameters,
+                    pc_fn=pc_fn_s, jit_store=store, op_state=state,
+                    mult_fn=mult_fn)
+            else:
+                htok = (key, array_token(D_v.A))
+                ent = self._host_cache.get(htok)
+                if ent is None:
+                    system, pc_fn = make_pieces(D_v.A, None,
+                                                M_v_c, M_zeta_c)
+                    ent = self._host_cache[htok] = (system, pc_fn, {})
+                system, pc_fn, store = ent
+                _hs.close()
+                info = system.solve_host(
+                    u_0_sol, u_1_sol, b_0, b_1,
+                    solver_parameters=solver_parameters,
+                    pc_fn=pc_fn, jit_store=store)
             u0, u1 = u_0_sol.data, u_1_sol.data
         else:
             def builder():

@@ -559,7 +559,8 @@ class MultiBlockSystem:
         return fn
 
     def solve_host(self, u_0, u_1, b_0, b_1, *, solver_parameters=None,
-                   pc_fn=None, jit_store=None):
+                   pc_fn=None, jit_store=None, op_state=None,
+                   mult_fn=None):
         """Like ``solve`` with flexible-GMRES semantics, but the outer
         Krylov loop runs on the host (krylov.fgmres_host): the operator
         and preconditioner execute as separately-jitted XLA programs.
@@ -567,7 +568,15 @@ class MultiBlockSystem:
         This bounds the compiled program size -- the single fused-program
         solve of large incompressible space-time systems exceeds what the
         single-chip TPU backend can execute (runtime kernel faults), while
-        its constituent programs run fine."""
+        its constituent programs run fine.
+
+        ``op_state`` (with ``mult_fn``): numeric linearisation state passed
+        to the jitted programs as an ARGUMENT.  ``mult_fn(state, u0, u1)``
+        replaces ``self.mult`` and ``pc_fn(state, b0, b1)`` is called with
+        the state; successive solves with different state (Picard /
+        Gauss-Newton iterations) then reuse one compiled executable per
+        program instead of re-jitting (this instance only supplies the
+        state-independent structure: nullspaces, spaces, block counts)."""
         sp = dict(solver_parameters or {})
         method, flexible = self._resolve_solver_parameters(sp)
         if not flexible:
@@ -581,8 +590,12 @@ class MultiBlockSystem:
         restart = sp.get("gmres_restart",
                          sp.get("fgmres_restart", 30))
         if pc_fn is None:
-            def pc_fn(b0, b1):
-                return b0, b1
+            if op_state is not None:
+                def pc_fn(state, b0, b1):
+                    return b0, b1
+            else:
+                def pc_fn(b0, b1):
+                    return b0, b1
 
         def wrapped_pc(b):
             b0, b1 = b
@@ -593,8 +606,30 @@ class MultiBlockSystem:
             u1 = _apply_per_block(self.ns1, "pc_post_mult_correct", u1, b1)
             return u0, u1
 
-        def operator(x):
-            return self.mult(*x)
+        if op_state is not None:
+            # state-as-argument variant: pc_fn/mult_fn take the
+            # linearisation state; re-wrap so the nullspace algebra (which
+            # is state-independent) stays inside the jitted programs
+            pc_fn_s = pc_fn
+
+            def wrapped_pc(state, b):
+                b0, b1 = b
+                b0c = _apply_per_block(self.ns0, "pc_pre_mult_corrected",
+                                       b0)
+                b1c = _apply_per_block(self.ns1, "pc_pre_mult_corrected",
+                                       b1)
+                u0, u1 = pc_fn_s(state, b0c, b1c)
+                u0 = _apply_per_block(self.ns0, "pc_post_mult_correct",
+                                      u0, b0)
+                u1 = _apply_per_block(self.ns1, "pc_post_mult_correct",
+                                      u1, b1)
+                return u0, u1
+
+            def operator(state, x):
+                return mult_fn(state, *x)
+        else:
+            def operator(x):
+                return self.mult(*x)
 
         u0 = self._as_stack(u_0, self.n0, self.space_0)
         u1 = self._as_stack(u_1, self.n1, self.space_1)
@@ -612,7 +647,7 @@ class MultiBlockSystem:
         x, info_d = krylov.fgmres_host(
             operator, (b0, b1), x0=(u0, u1), M=wrapped_pc,
             restart=restart, rtol=rtol, atol=atol, maxiter=maxiter,
-            dtol=dtol, jit_store=jit_store)
+            dtol=dtol, jit_store=jit_store, op_state=op_state)
         u0, u1 = x
         u0 = _apply_per_block(self.ns0, "correct_soln", u0)
         u1 = _apply_per_block(self.ns1, "correct_soln", u1)

@@ -297,7 +297,7 @@ def jacobi_apply(diag, b):
 
 
 def fgmres_host(A, b, x0=None, *, M=None, restart=30, rtol=1e-6, atol=0.0,
-                maxiter=100, dtol=None, jit_store=None):
+                maxiter=100, dtol=None, jit_store=None, op_state=None):
     """Flexible GMRES with the OUTER loop on the host.
 
     The operator and preconditioner run as separately-jitted XLA programs
@@ -310,50 +310,78 @@ def fgmres_host(A, b, x0=None, *, M=None, restart=30, rtol=1e-6, atol=0.0,
 
     ``jit_store`` (an empty dict supplied by the caller) caches the jitted
     programs across calls with the same operator/preconditioner objects,
-    avoiding a re-jit per solve."""
+    avoiding a re-jit per solve.
+
+    ``op_state``: optional pytree of numeric state.  When given, ``A`` and
+    ``M`` are called as ``A(state, x)`` / ``M(state, x)`` and the state is
+    passed to the jitted programs as an ARGUMENT -- solves with a different
+    linearisation state (e.g. successive Picard/Gauss-Newton iterations)
+    reuse the same compiled executables instead of re-jitting."""
     b_flat, unravel = ravel_pytree(b)
     n = b_flat.shape[0]
     dtype = b_flat.dtype
     x = ravel_pytree(x0)[0] if x0 is not None else jnp.zeros_like(b_flat)
     if jit_store is None:
         jit_store = {}
-    if "Af" not in jit_store:
-        jit_store["Af"] = jax.jit(_flat_op(A, unravel))
-        jit_store["Mf"] = (jax.jit(_flat_op(M, unravel))
-                           if M is not None else (lambda v: v))
+    stateful = op_state is not None
+    if "astep" not in jit_store:
+        if stateful:
+            def Af_t(s, v):
+                return ravel_pytree(A(s, unravel(v)))[0]
 
-        @jax.jit
-        def _residual(x, b_flat):
-            return b_flat - jit_store["Af"](x)
+            def Mf_t(s, v):
+                return (ravel_pytree(M(s, unravel(v)))[0]
+                        if M is not None else v)
+        else:
+            Af_b, Mf_b = _flat_op(A, unravel), _flat_op(M, unravel)
 
-        @jax.jit
-        def _orth(V, w, j):
-            # projection against rows 0..j of V in one fused program
-            # (classical GS with one reorthogonalisation pass --
-            # numerically adequate at these restart lengths)
+            def Af_t(s, v):
+                return Af_b(v)
+
+            def Mf_t(s, v):
+                return Mf_b(v)
+
+        def _astep(s, V, Z, j):
+            # ONE fused program per Arnoldi iteration: pc apply, operator
+            # apply, classical Gram-Schmidt with one reorthogonalisation
+            # pass (numerically adequate at these restart lengths), and
+            # the V/Z row stores.  The host loop pays a single dispatch +
+            # one small (h, nrm) transfer per iteration -- through the
+            # remote-TPU tunnel each dispatch costs O(100 ms), and this
+            # loop previously issued five.
+            z = Mf_t(s, V[j])
+            w = Af_t(s, z)
             mask = (jnp.arange(V.shape[0]) <= j).astype(w.dtype)
             h1 = (V @ w) * mask
             w = w - V.T @ h1
             h2 = (V @ w) * mask
             w = w - V.T @ h2
             nrm = jnp.sqrt(jnp.vdot(w, w).real)
-            return h1 + h2, w, nrm
+            V = V.at[j + 1].set(w / jnp.where(nrm > 0, nrm, 1.0))
+            Z = Z.at[j].set(z)
+            # h and nrm ride ONE d2h transfer (the tunnel charges per call)
+            return V, Z, jnp.concatenate([h1 + h2, nrm[None]])
+
+        def _residual(s, x, b_flat):
+            return b_flat - Af_t(s, x)
 
         @jax.jit
         def _update(x, Z, y):
             return x + Z.T @ y
 
-        jit_store["residual"] = _residual
-        jit_store["orth"] = _orth
+        jit_store["astep"] = jax.jit(_astep, donate_argnums=(1, 2))
+        jit_store["residual"] = jax.jit(_residual)
         jit_store["update"] = _update
-    Af = jit_store["Af"]
-    Mf = jit_store["Mf"]
-    _orth = jit_store["orth"]
+    _astep_j = jit_store["astep"]
+    _res_j = jit_store["residual"]
     _update = jit_store["update"]
-    _residual_b = jit_store["residual"]
+    _state = op_state  # None in the stateless variant
+
+    def _arnoldi_step(V, Z, j):
+        return _astep_j(_state, V, Z, j)
 
     def _residual(x):
-        return _residual_b(x, b_flat)
+        return _res_j(_state, x, b_flat)
 
     bnorm = float(np.sqrt(abs(np.asarray(jnp.vdot(b_flat, b_flat)))))
     r = _residual(x)
@@ -381,15 +409,11 @@ def fgmres_host(A, b, x0=None, *, M=None, restart=30, rtol=1e-6, atol=0.0,
         g[0] = beta
         j = 0
         while j < m and rnorm > tol and it < maxiter and rnorm <= dlim:
-            z = Mf(V[j])
-            Z = Z.at[j].set(z)
-            w = Af(z)
-            h, w, nrm = _orth(V, w, j)
-            h_np = np.asarray(h)
-            nrm = float(nrm)
+            V, Z, hn = _arnoldi_step(V, Z, j)
+            hn = np.asarray(hn)
+            h_np, nrm = hn[:-1], float(hn[-1])
             H[:j + 1, j] = h_np[:j + 1]
             H[j + 1, j] = nrm
-            V = V.at[j + 1].set(w / (nrm if nrm > 0 else 1.0))
             # Givens update of column j (host)
             col = H[:, j].copy()
             for k in range(j):
