@@ -16,13 +16,15 @@ log() { echo "[tpu_watch $(date +%m%d_%H:%M:%S)] $*" | tee -a "$OUT/watch.log"; 
 
 log "watcher started (interval ${INTERVAL}s)"
 while true; do
-    if timeout 180 python bench.py --probe >"$OUT/watch_probe.log" 2>&1; then
+    timeout 180 python bench.py --probe >"$OUT/watch_probe.log" 2>&1
+    rc=$?
+    if [ "$rc" -eq 0 ]; then
         log "tunnel is UP; starting runbook"
         date > "$OUT/TUNNEL_UP"
         bash tools/tpu_runbook.sh 2>&1 | tee -a "$OUT/watch.log"
         log "runbook finished; watcher exiting"
         exit 0
     fi
-    log "tunnel still down (probe rc=$?)"
+    log "tunnel still down (probe rc=$rc)"
     sleep "$INTERVAL"
 done
