@@ -37,6 +37,10 @@ import numpy as np
 import jax  # noqa: E402
 if "--cpu-proxy" in sys.argv or "--cpu-measure" in sys.argv:
     jax.config.update("jax_platforms", "cpu")
+elif os.environ.get("JAX_PLATFORMS"):
+    # the axon TPU plugin ignores the env var; mirror it into the config
+    # (lets BENCH_CONFIG=... runs be forced onto the CPU backend)
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # persistent executable cache: first-call compile (minutes at production
@@ -95,6 +99,9 @@ def _heat_problem(n, n_t, dtype_name, mode):
             weight_dtype=os.environ.get("BENCH_PD_WEIGHT_DTYPE"))
     else:
         ctl.set_schur_sweep(mode)
+    ms = os.environ.get("BENCH_MASS_STEPS")
+    if ms and mode != "scan":      # the scan proxy keeps the reference's 20
+        ctl.set_mass_solver_steps(int(ms))
     return ctl
 
 

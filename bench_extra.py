@@ -135,6 +135,55 @@ def build_extra(config):
             return ctl.last_solve_info
         return run
 
+    if config == "nse":
+        # instationary Navier-Stokes Picard control: the nonlinear loop
+        # re-linearises every outer step, exercising the state-as-argument
+        # host-loop programs (one compiled executable across all Picard
+        # iterations)
+        mesh = UnitSquareMesh(12, 12, quadrilateral=True, dtype=dtype)
+        space_v = VectorFunctionSpace(mesh, "Lagrange", 2)
+        space_p = FunctionSpace(mesh, "Lagrange", 1)
+        X = SpatialCoordinate(mesh)
+        nu = 0.1
+
+        def fdo(trial, test, u, t):
+            return (nu * inner(grad(trial), grad(test)) * dx
+                    + inner(dot(grad(trial), u), test) * dx)
+
+        def ds_(test, t):
+            v_d = Function(space_v).interpolate(
+                (0.2 * sin(pi * X[0]) * sin(pi * X[1]),
+                 0.1 * sin(2 * pi * X[0]) * sin(pi * X[1])))
+            return inner(v_d, test) * dx, v_d
+
+        def ff(test, t):
+            return inner(Function(space_v), test) * dx
+
+        def bc_t(s, t):
+            return DirichletBC(s, (0.0, 0.0), "on_boundary")
+
+        ctl = Control.Instationary(space_v, fdo, desired_state=ds_,
+                                   force_f=ff, beta=1e-1, space_p=space_p,
+                                   n_t=8, time_interval=(0.0, 1.0),
+                                   CN=True, bcs_v=bc_t)
+
+        def run():
+            ctl.incompressible_non_linear_solve(
+                ConstantNullspace(),
+                lambda_v_bounds=(0.25, 1.5625),
+                lambda_p_bounds=(0.25, 2.25),
+                solver_parameters={"linear_solver": "fgmres",
+                                   "fgmres_restart": 10,
+                                   "maximum_iterations": 100,
+                                   "relative_tolerance": 1.0e-6,
+                                   "absolute_tolerance": 0.0,
+                                   "monitor_convergence": False},
+                max_non_linear_iter=5,
+                print_error_linear=False, print_error_non_linear=False,
+                create_output=False, plots=False)
+            return ctl.last_solve_info
+        return run
+
     if config == "heat3d":
         # 3-D instationary heat control (capability extension; 64^3 Q1,
         # n_t=16, CN, ParaDiag sweeps)

@@ -244,14 +244,25 @@ def regularized_stiffness(K_op, M_op, eps=1.0e-6):
     return LocalOp(K_op.A + c * M_op.A, K_op.trial_space, K_op.test_space)
 
 
-def mass_solver(M_op, mask, multigrid_flag, lambda_bounds, state=None):
+def mass_solver(M_op, mask, multigrid_flag, lambda_bounds, state=None,
+                steps=None):
     """The reference's (1,1)-block solver selection
     (control/control.py:356-394): BoomerAMG when Multigrid=True, Chebyshev
-    semi-iteration (20 its) with user bounds, else plain Jacobi."""
+    semi-iteration with user bounds, else plain Jacobi.
+
+    ``steps``: Chebyshev step count (reference fixes 20,
+    control/control.py:377-385).  With diagonally-scaled mass spectra
+    (ratio <= 9 for the tabulated element bounds) each step contracts the
+    error by ~(sqrt(k)-1)/(sqrt(k)+1) ~ 0.5, so 20 steps reach ~1e-6 --
+    far tighter than a preconditioner block needs; 10-12 steps usually
+    hold the same outer iteration count at half the (1,1)-solve cost
+    (tunable via ``Control.*.set_mass_solver_steps``)."""
     if multigrid_flag:
         return BlockSolver(M_op, mask, ("mg", 2), state=state)
     if lambda_bounds is not None:
-        return BlockSolver(M_op, mask, ("cheb", tuple(lambda_bounds), 20),
+        return BlockSolver(M_op, mask,
+                           ("cheb", tuple(lambda_bounds),
+                            20 if steps is None else int(steps)),
                            state=state)
     return BlockSolver(M_op, mask, ("jacobi",), state=state)
 

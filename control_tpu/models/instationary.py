@@ -904,6 +904,12 @@ class Instationary:
         if weight_dtype is not None:
             self._mg_weight_dtype = str(weight_dtype)
 
+    def set_mass_solver_steps(self, steps):
+        """Chebyshev step count of the preconditioner's (1,1)-block mass
+        solves (reference fixes 20, control/control.py:377-385; ~10-12
+        usually holds the outer iteration count at half the cost)."""
+        self._mass_cheb_steps = None if steps is None else int(steps)
+
     def construct_pc(self, Multigrid, lambda_v_bounds, mask, Dv_A, M,
                      epsilon=None, prebuilt=None):
         """The reference's CN/BE block preconditioner
@@ -920,7 +926,9 @@ class Instationary:
         M_A = M.A
         solver_0 = mass_solver(M, mask, Multigrid, lambda_v_bounds,
                                state=None if prebuilt is None
-                               else prebuilt["solver_0"])
+                               else prebuilt["solver_0"],
+                               steps=getattr(self, "_mass_cheb_steps",
+                                             None))
         sh = Dv_A.shape[0] == 1
 
         def D(i):
@@ -1197,6 +1205,7 @@ class Instationary:
                getattr(self, "_paradiag_cycles", 2),
                getattr(self, "_mg_smooth", None),
                getattr(self, "_mg_weight_dtype", None),
+               getattr(self, "_mass_cheb_steps", None),
                getattr(self, "_be_epsilon", 1.0e-3),
                None if P is None else id(P), id(space_v))
 
@@ -1763,6 +1772,7 @@ class Instationary:
                getattr(self, "_paradiag_cycles", 2),
                getattr(self, "_mg_smooth", None),
                getattr(self, "_mg_weight_dtype", None),
+               getattr(self, "_mass_cheb_steps", None),
                getattr(self, "_be_epsilon", 1.0e-3),
                getattr(self, "_inner_pc_iterations",
                        5 if self._CN else 15),
@@ -1827,7 +1837,10 @@ class Instationary:
                                      else pc_state["K_p"])
             solver_M_p = mass_solver(M_p, None, False, lambda_p_bounds,
                                      state=None if pc_state is None
-                                     else pc_state["M_p"])
+                                     else pc_state["M_p"],
+                                     steps=getattr(self,
+                                                   "_mass_cheb_steps",
+                                                   None))
             act_00 = BlockAction(p00, n, n, space_p, space_p)
             act_01 = BlockAction(p01, n, n, space_p, space_p)
             act_10 = BlockAction(p10, n, n, space_p, space_p)

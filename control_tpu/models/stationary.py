@@ -147,6 +147,12 @@ class Stationary:
         else:
             self.set_space_v(space_v, bcs_v_new=True, bcs_v=bcs_v)
 
+    def set_mass_solver_steps(self, steps):
+        """Chebyshev step count of the preconditioner's (1,1)-block mass
+        solves (reference fixes 20, control/control.py:377-385; ~10-12
+        usually holds the outer iteration count at half the cost)."""
+        self._mass_cheb_steps = None if steps is None else int(steps)
+
     def set_Gauss_Newton(self, Gauss_Newton=True):
         self._Gauss_Newton = Gauss_Newton
 
@@ -237,7 +243,9 @@ class Stationary:
             return None if prebuilt is None else prebuilt[k]
 
         solver_0 = mass_solver(M_v, mask_v, Multigrid, lambda_v_bounds,
-                               state=pb("solver_0"))
+                               state=pb("solver_0"),
+                               steps=getattr(self, "_mass_cheb_steps",
+                                             None))
         solver_1 = BlockSolver(D_v + shift * M_v, mask_zeta, ("mg", 2),
                                state=pb("solver_1"))
         solver_2 = BlockSolver(D_zeta + shift * M_v, mask_zeta, ("mg", 2),
@@ -306,6 +314,7 @@ class Stationary:
         key = ("linear", self._beta, Multigrid,
                None if lambda_v_bounds is None else tuple(lambda_v_bounds),
                array_token(mask), params_token(solver_parameters),
+               getattr(self, "_mass_cheb_steps", None),
                None if P is None else id(P), id(space_v))
 
         def builder():
@@ -575,6 +584,7 @@ class Stationary:
                None if lambda_v_bounds is None else tuple(lambda_v_bounds),
                None if lambda_p_bounds is None else tuple(lambda_p_bounds),
                array_token(mask), params_token(solver_parameters),
+               getattr(self, "_mass_cheb_steps", None),
                None if P is None else id(P), id(nullspace_p),
                id(space_v), id(space_p))
 
@@ -636,7 +646,10 @@ class Stationary:
                     solver_M_p = mass_solver(M_p, None, False,
                                              lambda_p_bounds,
                                              state=None if pc_state is None
-                                             else pc_state["M_p"])
+                                             else pc_state["M_p"],
+                                             steps=getattr(
+                                                 self, "_mass_cheb_steps",
+                                                 None))
                     D_p_t = LocalOp(Dp_A, space_p, space_p)
                     D_mu_t = D_p_t.T
                     M_mu_op = -(1.0 / beta) * M_mu_base

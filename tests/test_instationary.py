@@ -224,6 +224,48 @@ def test_instationary_heat_default_pc_iterations(CN):
     assert info.iterations <= 50
 
 
+def test_instationary_mass_solver_steps_knob():
+    """set_mass_solver_steps trades (1,1)-block solve cost for pc quality:
+    12 Chebyshev steps must converge within a couple of extra outer
+    iterations of the reference's 20."""
+    mesh = UnitSquareMesh(8, 8, quadrilateral=True)
+    space = FunctionSpace(mesh, "Lagrange", 1)
+    X = SpatialCoordinate(mesh)
+
+    def forw_diff_operator(trial, test, u, t):
+        return inner(grad(trial), grad(test)) * dx
+
+    def desired_state(test, t):
+        v_d = Function(space, name="v_d").interpolate(
+            cos(0.5 * pi * (X[0] - 1.0)) * cos(0.5 * pi * (X[1] - 1.0)))
+        return inner(v_d, test) * dx, v_d
+
+    def force_f(test, t):
+        f = Function(space).interpolate(
+            cos(0.5 * pi * (X[0] - 1.0)) * cos(0.5 * pi * (X[1] - 1.0)))
+        return inner(f, test) * dx
+
+    def bc_t(space_0, t):
+        return DirichletBC(space_0, 0.0, "on_boundary")
+
+    sp = {"linear_solver": "gmres", "gmres_restart": 10,
+          "maximum_iterations": 50, "relative_tolerance": 1.0e-6,
+          "absolute_tolerance": 0.0, "monitor_convergence": False}
+    its = {}
+    for steps in (None, 12):
+        ctl = Control.Instationary(
+            space, forw_diff_operator, desired_state=desired_state,
+            force_f=force_f, beta=1e-4, n_t=10, time_interval=(0.0, 2.0),
+            CN=True, bcs_v=bc_t)
+        ctl.set_mass_solver_steps(steps)
+        info = ctl.linear_solve(
+            lambda_v_bounds=(0.25, 2.25), solver_parameters=dict(sp),
+            print_error=False, create_output=False, plots=False)
+        assert info.converged, (steps, info.iterations)
+        its[steps] = info.iterations
+    assert its[12] <= its[None] + 2, its
+
+
 def test_instationary_nonlinear_picard():
     """Nonlinear (state-dependent reaction) instationary control: the
     Picard loop converges and the converged trajectory satisfies the

@@ -19,7 +19,7 @@ cd "$(dirname "$0")/.."
 OUT=tools/tpu_results
 mkdir -p "$OUT"
 STAMP=$(date +%Y%m%d_%H%M%S)
-STEPS=${STEPS:-"probe bench profile tune stokes heat3d"}
+STEPS=${STEPS:-"probe bench profile tune stokes heat3d nse"}
 
 log() { echo "[tpu_runbook $(date +%H:%M:%S)] $*"; }
 
@@ -50,7 +50,7 @@ profile)
     run_step profile 3600 python tools/profile_pc.py
     ;;
 tune)
-    TUNE_GRID='[{}, {"cycles":1}, {"cycles":1,"smooth":[4,4]}, {"cycles":1,"smooth":[6,6]}]' \
+    TUNE_GRID='[{}, {"cycles":1}, {"cycles":1,"smooth":[4,4]}, {"cycles":1,"smooth":[6,6]}, {"cycles":1,"smooth":[4,4],"dc":0,"alpha":0.01}, {"cycles":1,"smooth":[4,4],"dc":0,"alpha":0.03}, {"cycles":1,"smooth":[4,4],"weight_dtype":"bfloat16"}, {"cycles":1,"smooth":[4,4],"mass_steps":12}]' \
     TUNE_REPEATS=2 \
     run_step tune 7200 python tools/tune_paradiag.py
     ;;
@@ -61,6 +61,10 @@ stokes)
     ;;
 heat3d)
     BENCH_CONFIG=heat3d run_step heat3d 3600 python bench.py
+    ;;
+nse)
+    # nonlinear Picard NSE through the state-as-argument host loop
+    BENCH_CONFIG=nse run_step nse 3600 python bench.py
     ;;
 *) log "unknown step $s";;
 esac

@@ -107,6 +107,8 @@ def main():
                 paradiag_cycles=var.get("cycles", 2),
                 smooth=None if sm is None else tuple(sm),
                 weight_dtype=var.get("weight_dtype"))
+            if var.get("mass_steps") is not None:
+                ctl.set_mass_solver_steps(var["mass_steps"])
 
         def solve():
             return ctl.linear_solve(
@@ -118,6 +120,7 @@ def main():
                "cycles": var.get("cycles", 2),
                "smooth": list(var.get("smooth", (8, 8))),
                "weight_dtype": var.get("weight_dtype"),
+               "mass_steps": var.get("mass_steps", 20),
                "n": N, "n_t": N_T}
         try:
             t0 = time.time()
