@@ -537,6 +537,49 @@ class Instationary:
         if self._space_p is not None:
             self.set_space_p(self._space_p)
 
+    def set_space_v(self, space_v, *, v=None, zeta=None, bcs_v_new=False,
+                    bcs_v=None):
+        """Replace the state space (reference control.py:1599-1671):
+        rebuild the mass forms and the per-time-step bcs, and carry the
+        current state/adjoint trajectories over by interpolation onto the
+        new space (e.g. after a mesh refinement)."""
+        old_v, old_zeta = self._v, self._zeta
+        old_space = old_v.space
+        self._space_v = space_v
+        v_test, v_trial = TestFunction(space_v), TrialFunction(space_v)
+        self._M_v = inner(v_trial, v_test) * dx
+        self._M_zeta = inner(v_trial, v_test) * dx
+        if bcs_v_new:
+            self._f_bcs_v = bcs_v
+        self._rebuild_bcs()
+        n_t = self._n_t
+        if v is None:
+            v = MixedFunction(space_v, n_t, name="v")
+            if self._initial_condition is not None:
+                v.sub(0).assign(self._initial_condition(v_test))
+            for i in range(1, n_t):
+                v.sub(i).interpolate(
+                    Function(old_space, data=old_v.data[i]))
+        elif v.space != space_v or v.n != n_t:
+            raise ValueError("Unexpected space")
+        for i in range(n_t):
+            for bc in self._bcs_v[i]:
+                bc.apply(v.sub(i))
+        if zeta is None:
+            zeta = MixedFunction(space_v, n_t, name="zeta")
+            for i in range(1, n_t):
+                zeta.sub(i).interpolate(
+                    Function(old_space, data=old_zeta.data[i]))
+        elif zeta.space != space_v or zeta.n != n_t:
+            raise ValueError("Unexpected space")
+        self._v, self._zeta = v, zeta
+        bcs_zeta = homogenize(self._bcs_v[1])
+        if bcs_zeta:
+            mask = combine_masks(space_v, bcs_zeta)
+            self._zeta.data = jnp.where(mask[None], 0.0, self._zeta.data)
+        self._data_cache = {}
+        self._bc_stack_cache = None
+
     def set_space_p(self, space_p, *, p=None, mu=None):
         self._space_p = space_p
         p_test, p_trial = TestFunction(space_p), TrialFunction(space_p)
@@ -549,11 +592,18 @@ class Instationary:
                                                            name="mu")
 
     def set_bcs_v(self, bcs_v, space_v=None):
+        if space_v is not None:
+            self.set_space_v(space_v, bcs_v_new=True, bcs_v=bcs_v)
+            return
         self._f_bcs_v = bcs_v
         self._rebuild_bcs()
         for i in range(self._n_t):
             for bc in self._bcs_v[i]:
                 bc.apply(self._v.sub(i))
+        bcs_zeta = homogenize(self._bcs_v[1])
+        if bcs_zeta:
+            mask = combine_masks(self._space_v, bcs_zeta)
+            self._zeta.data = jnp.where(mask[None], 0.0, self._zeta.data)
 
     def set_Gauss_Newton(self, Gauss_Newton=True):
         self._Gauss_Newton = Gauss_Newton

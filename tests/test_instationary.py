@@ -266,6 +266,82 @@ def test_instationary_mass_solver_steps_knob():
     assert its[12] <= its[None] + 2, its
 
 
+def test_instationary_set_space_v_refinement():
+    """set_space_v (reference control.py:1599-1671) swaps in a refined
+    state space, carrying the v/zeta trajectories over by interpolation,
+    and a solve on the new space works."""
+    from control_tpu.fem.assemble import interpolate as interp
+    n_t = 6
+    mesh = UnitSquareMesh(4, 4, quadrilateral=True)
+    space = FunctionSpace(mesh, "Lagrange", 1)
+
+    # callbacks derive their space from the test function (the reference's
+    # contract for set_space_v: the forms must follow the new space)
+    def forw_diff_operator(trial, test, u, t):
+        return inner(grad(trial), grad(test)) * dx
+
+    def desired_state(test, t):
+        sp = test.function_space()
+        Xs = SpatialCoordinate(sp.mesh)
+        v_d = Function(sp, name="v_d").interpolate(
+            cos(0.5 * pi * (Xs[0] - 1.0)) * cos(0.5 * pi * (Xs[1] - 1.0)))
+        return inner(v_d, test) * dx, v_d
+
+    def force_f(test, t):
+        return inner(Function(test.function_space()), test) * dx
+
+    def bc_t(space_0, t):
+        return DirichletBC(space_0, 0.0, "on_boundary")
+
+    ctl = Control.Instationary(
+        space, forw_diff_operator, desired_state=desired_state,
+        force_f=force_f, beta=1e-3, time_interval=(0.0, 1.0),
+        CN=True, n_t=n_t, bcs_v=bc_t)
+    X = SpatialCoordinate(mesh)
+    base = interp(space, X[0] * X[1])
+    v0 = MixedFunction(space, n_t)
+    v0.assign(jnp.stack([float(i) * base for i in range(n_t)]))
+    ctl.set_v(v0)                     # zeroes the Dirichlet boundary rows
+    coarse_data = np.asarray(ctl._v.data)
+
+    def refine2(c):
+        """Exact Q1 evaluation of coarse nodal data at the nodes of the
+        once-refined nested grid."""
+        ny, nx = c.shape
+        f = np.zeros((2 * ny - 1, 2 * nx - 1))
+        f[::2, ::2] = c
+        f[1::2, ::2] = 0.5 * (c[:-1, :] + c[1:, :])
+        f[::2, 1::2] = 0.5 * (c[:, :-1] + c[:, 1:])
+        f[1::2, 1::2] = 0.25 * (c[:-1, :-1] + c[1:, :-1]
+                                + c[:-1, 1:] + c[1:, 1:])
+        return f
+
+    fine = UnitSquareMesh(8, 8, quadrilateral=True)
+    space_f = FunctionSpace(fine, "Lagrange", 1)
+    ctl.set_space_v(space_f)
+    assert ctl._space_v is space_f
+    for i in range(1, n_t):
+        expect = refine2(coarse_data[i])
+        expect[0, :] = expect[-1, :] = 0.0      # Dirichlet rows re-applied
+        expect[:, 0] = expect[:, -1] = 0.0
+        assert np.allclose(np.asarray(ctl._v.data[i]), expect,
+                           atol=1e-12), i
+    # zeta was zero and stays zero; bcs dict rebuilt on the new space
+    assert float(jnp.max(jnp.abs(ctl._zeta.data))) == 0.0
+    assert len(ctl._bcs_v) == n_t
+
+    info = ctl.linear_solve(
+        lambda_v_bounds=(0.25, 2.25),
+        solver_parameters={"linear_solver": "gmres", "gmres_restart": 10,
+                           "maximum_iterations": 50,
+                           "relative_tolerance": 1.0e-6,
+                           "absolute_tolerance": 0.0,
+                           "monitor_convergence": False},
+        print_error=False, create_output=False, plots=False)
+    assert info.converged
+    assert ctl._v.data.shape == (n_t,) + space_f.grid_shape
+
+
 def test_instationary_nonlinear_picard():
     """Nonlinear (state-dependent reaction) instationary control: the
     Picard loop converges and the converged trajectory satisfies the
