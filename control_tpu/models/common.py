@@ -23,6 +23,21 @@ def host_setup():
     with jax.default_device(jax.devices("cpu")[0]):
         yield
 
+@contextmanager
+def x64_context():
+    """Temporarily enable 64-bit dtypes: mixed-precision iterative
+    refinement computes true residuals in f64 on the host CPU while the
+    inner Krylov solves stay in the accelerator's f32."""
+    if jax.config.jax_enable_x64:
+        yield
+        return
+    jax.config.update("jax_enable_x64", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 from ..fem.expr import Expr
 from ..fem.forms import Form
 from ..fem.space import Function, combine_masks

@@ -1,0 +1,121 @@
+"""Mixed-precision iterative refinement (TPU extension, no reference
+equivalent): inner f32 Krylov solves + f64 true-residual corrections reach
+tolerances below the f32 rounding floor.  solver_parameters keys:
+``iterative_refinement`` (max correction steps) and
+``refinement_inner_tolerance`` (inner solve rtol, default 1e-6)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from control_tpu import (Control, UnitSquareMesh, FunctionSpace, Function,
+                         SpatialCoordinate, DirichletBC, grad, inner, dx,
+                         cos, pi)
+
+
+def _f32_heat(n=8, n_t=6):
+    mesh = UnitSquareMesh(n, n, quadrilateral=True, dtype=jnp.float32)
+    space = FunctionSpace(mesh, "Lagrange", 1)
+    X = SpatialCoordinate(mesh)
+
+    def forw_diff_operator(trial, test, u, t):
+        return inner(grad(trial), grad(test)) * dx
+
+    def desired_state(test, t):
+        v_d = Function(space).interpolate(
+            cos(0.5 * pi * (X[0] - 1.0)) * cos(0.5 * pi * (X[1] - 1.0)))
+        return inner(v_d, test) * dx, v_d
+
+    def force_f(test, t):
+        return inner(Function(space), test) * dx
+
+    def bc_t(space_0, t):
+        return DirichletBC(space_0, 0.0, "on_boundary")
+
+    return Control.Instationary(
+        space, forw_diff_operator, desired_state=desired_state,
+        force_f=force_f, beta=1e-3, n_t=n_t, time_interval=(0.0, 1.0),
+        CN=True, bcs_v=bc_t)
+
+
+def _sp(rtol, **extra):
+    d = {"linear_solver": "gmres", "gmres_restart": 20,
+         "maximum_iterations": 200, "relative_tolerance": rtol,
+         "absolute_tolerance": 0.0, "monitor_convergence": False}
+    d.update(extra)
+    return d
+
+
+def test_f32_recurrence_residual_is_optimistic():
+    """The f32 GMRES recurrence residual claims 1e-12 but the TRUE (f64)
+    residual stalls orders of magnitude higher -- the gap refinement
+    exists to close.  res[0] is the f64 residual of the plain inner
+    solve, which "converged" to 1e-12 by its own recurrence."""
+    ctl = _f32_heat()
+    info = ctl.linear_solve(
+        lambda_v_bounds=(0.25, 2.25),
+        solver_parameters=_sp(1e-12, iterative_refinement=8,
+                              refinement_inner_tolerance=1e-12),
+        print_error=False, create_output=False, plots=False)
+    assert info.rnorm0 >= 1e-9 * info.rhs_norm, \
+        (info.rnorm0, info.rhs_norm)
+    assert info.converged
+    assert info.rnorm <= 1.01e-12 * info.rhs_norm
+
+
+def test_refinement_reaches_f64_accuracy():
+    """With refinement the same f32 solves reach a 1e-11 TRUE (f64)
+    relative residual, and the refined f64 solution rides on the info."""
+    ctl = _f32_heat()
+    info = ctl.linear_solve(
+        lambda_v_bounds=(0.25, 2.25),
+        solver_parameters=_sp(1e-11, iterative_refinement=6),
+        print_error=False, create_output=False, plots=False)
+    assert info.converged
+    assert info.refinement_steps >= 1
+    assert info.rnorm <= 1.01e-11 * info.rhs_norm
+    assert info.x0_f64.dtype == np.float64
+    # the f32-stored trajectory agrees with a plain 1e-6 solve
+    v_refined = np.asarray(ctl._v.data)
+    ctl2 = _f32_heat()
+    ctl2.linear_solve(lambda_v_bounds=(0.25, 2.25),
+                      solver_parameters=_sp(1e-6),
+                      print_error=False, create_output=False, plots=False)
+    v_plain = np.asarray(ctl2._v.data)
+    d = np.linalg.norm(v_refined - v_plain)
+    assert d <= 1e-4 * max(np.linalg.norm(v_plain), 1.0), d
+
+
+def test_refinement_noop_in_f64():
+    """On an f64 problem the first solve already meets the target: zero
+    correction steps, same executable, no behavior change."""
+    mesh = UnitSquareMesh(8, 8, quadrilateral=True)
+    space = FunctionSpace(mesh, "Lagrange", 1)
+    X = SpatialCoordinate(mesh)
+
+    def forw_diff_operator(trial, test, u, t):
+        return inner(grad(trial), grad(test)) * dx
+
+    def desired_state(test, t):
+        v_d = Function(space).interpolate(
+            cos(0.5 * pi * (X[0] - 1.0)) * cos(0.5 * pi * (X[1] - 1.0)))
+        return inner(v_d, test) * dx, v_d
+
+    def force_f(test, t):
+        return inner(Function(space), test) * dx
+
+    def bc_t(space_0, t):
+        return DirichletBC(space_0, 0.0, "on_boundary")
+
+    ctl = Control.Instationary(
+        space, forw_diff_operator, desired_state=desired_state,
+        force_f=force_f, beta=1e-3, n_t=6, time_interval=(0.0, 1.0),
+        CN=True, bcs_v=bc_t)
+    info = ctl.linear_solve(
+        lambda_v_bounds=(0.25, 2.25),
+        solver_parameters=_sp(1e-6, iterative_refinement=3,
+                              linear_solver="fgmres",
+                              fgmres_restart=20),
+        print_error=False, create_output=False, plots=False)
+    assert info.converged
+    assert info.refinement_steps == 0
