@@ -181,6 +181,97 @@ def run_kernel(fn, *args):
     return out
 
 
+# ---------------------------------------------------------------------------
+# mixed-precision iterative refinement (TPU extension, no reference
+# equivalent)
+# ---------------------------------------------------------------------------
+
+def pop_refinement_params(solver_parameters):
+    """Split the refinement keys off a solver_parameters dict.
+
+    Returns ``(inner_sp, outer_sp, steps)``: the parameters for the inner
+    accelerator-dtype solves (rtol clamped to the attainable
+    ``refinement_inner_tolerance``, default 1e-6, when refinement is on),
+    the caller's original convergence targets, and the maximum number of
+    f64 correction steps (0 = refinement off)."""
+    sp = dict(solver_parameters)
+    steps = int(sp.pop("iterative_refinement", 0) or 0)
+    inner = float(sp.pop("refinement_inner_tolerance", 1.0e-6))
+    outer_sp = dict(sp)
+    if steps:
+        sp["relative_tolerance"] = inner
+        sp["absolute_tolerance"] = 0.0
+    return sp, outer_sp, steps
+
+
+def run_iterative_refinement(build64, solve_fn, u0, u1, base_iterations,
+                             steps, outer_sp, dtype):
+    """Wilkinson iterative refinement around a cached accelerator solve:
+    the TRUE residual of the (nullspace-corrected) KKT system is evaluated
+    in f64 on the host CPU, and each correction re-uses the same compiled
+    accelerator executable with the residual as the rhs.  The attainable
+    accuracy is set by the residual precision (f64), not the solve
+    precision (f32).
+
+    ``build64()`` is called once, lazily, inside an f64 host-CPU context;
+    it returns ``(mult, bc0, bc1)``: the f64 block-operator application
+    and the corrected f64 rhs blocks.  ``solve_fn(r0, r1)`` runs one inner
+    solve in the accelerator dtype and returns ``(d0, d1, info_dict)``.
+
+    Returns ``(x0_f64, x1_f64, SolveInfo)``; raises on non-convergence
+    unless ``outer_sp['preconditioner']``."""
+    from ..solvers.block import SolveInfo
+    rtol = outer_sp.get("relative_tolerance", 1.0e-6)
+    atol = outer_sp.get("absolute_tolerance", 0.0)
+    total_its = int(base_iterations)
+    cpu = jax.devices("cpu")[0]
+    state64 = {}
+
+    def residual64(x0_np, x1_np):
+        with x64_context(), jax.default_device(cpu):
+            if not state64:
+                mult, bc0, bc1 = build64()
+                nb = float(jnp.sqrt(jnp.vdot(bc0, bc0)
+                                    + jnp.vdot(bc1, bc1)))
+                state64.update(mult=mult, bc0=bc0, bc1=bc1, nb=nb)
+            y0, y1 = state64["mult"](jnp.asarray(x0_np),
+                                     jnp.asarray(x1_np))
+            r0 = state64["bc0"] - y0
+            r1 = state64["bc1"] - y1
+            rn = float(jnp.sqrt(jnp.vdot(r0, r0) + jnp.vdot(r1, r1)))
+            return np.asarray(r0), np.asarray(r1), rn
+
+    x0 = np.asarray(u0).astype(np.float64)
+    x1 = np.asarray(u1).astype(np.float64)
+    hist = []
+    monitor = outer_sp.get("monitor_convergence", True)
+    for k in range(steps + 1):
+        r0, r1, rn = residual64(x0, x1)
+        hist.append(rn)
+        if monitor:
+            print(f"IR: step {k:d}, true residual norm {rn:.16e}")
+        target = max(rtol * state64["nb"], atol)
+        if rn <= target or k == steps:
+            break
+        d0, d1, info_k = solve_fn(r0.astype(dtype), r1.astype(dtype))
+        total_its += int(info_k["iterations"])
+        x0 = x0 + np.asarray(d0).astype(np.float64)
+        x1 = x1 + np.asarray(d1).astype(np.float64)
+    converged = hist[-1] <= max(rtol * state64["nb"], atol)
+    res = np.full(total_its + 2, np.nan)
+    res[:len(hist)] = hist
+    info = SolveInfo(total_its, res, converged, hist[0], hist[-1])
+    info.refinement_steps = len(hist) - 1
+    info.rhs_norm = state64["nb"]
+    # the stored trajectories are cast back to the solve dtype (the
+    # space's storage dtype); the refined f64 solution itself -- whose
+    # true residual is what `hist` certifies -- rides on the info
+    info.x0_f64, info.x1_f64 = x0, x1
+    if not outer_sp.get("preconditioner", False) and not converged:
+        raise RuntimeError("Solver failed to converge")
+    return x0, x1, info
+
+
 class BlockSolver:
     """One application of an approximate block inverse.
 

@@ -1206,82 +1206,39 @@ class Instationary:
         the same compiled accelerator executable with the residual as the
         rhs.  Classic Wilkinson refinement: the attainable accuracy is set
         by the residual precision (f64), not the solve precision (f32)."""
-        from .common import run_kernel, x64_context
-        from ..solvers.block import SolveInfo, _apply_per_block
+        from .common import run_kernel, run_iterative_refinement
+        from ..solvers.block import _apply_per_block
         space_v = self._space_v
-        rtol = outer_sp.get("relative_tolerance", 1.0e-6)
-        atol = outer_sp.get("absolute_tolerance", 0.0)
         dtype = space_v.mesh.dtype
-        total_its = int(info_d["iterations"])
-        cpu = jax.devices("cpu")[0]
-        state64 = {}
 
-        def residual64(x0_np, x1_np):
-            with x64_context(), jax.default_device(cpu):
-                if not state64:
-                    Dv64 = jnp.asarray(np.asarray(Dv_A)).astype(
-                        jnp.float64)
-                    M64 = LocalOp(jnp.asarray(np.asarray(M.A)).astype(
-                        jnp.float64), space_v, space_v)
-                    b00, b01, b10, b11, _ = self._blocks(Dv64, M=M64)
-                    system = MultiBlockSystem(
-                        space_v, space_v,
-                        block_00=b00, block_01=b01,
-                        block_10=b10, block_11=b11,
-                        n_blocks_00=n_blocks, n_blocks_11=n_blocks,
-                        nullspace_0=full_ns, nullspace_1=full_ns,
-                        CN=self._CN)
-                    bc0 = _apply_per_block(
-                        system.ns0, "correct_rhs",
-                        jnp.asarray(np.asarray(b_0)).astype(jnp.float64))
-                    bc1 = _apply_per_block(
-                        system.ns1, "correct_rhs",
-                        jnp.asarray(np.asarray(b_1)).astype(jnp.float64))
-                    nb = float(jnp.sqrt(jnp.vdot(bc0, bc0)
-                                        + jnp.vdot(bc1, bc1)))
-                    state64.update(system=system, bc0=bc0, bc1=bc1, nb=nb)
-                y0, y1 = state64["system"].mult(
-                    jnp.asarray(x0_np), jnp.asarray(x1_np))
-                r0 = state64["bc0"] - y0
-                r1 = state64["bc1"] - y1
-                rn = float(jnp.sqrt(jnp.vdot(r0, r0) + jnp.vdot(r1, r1)))
-                return np.asarray(r0), np.asarray(r1), rn
+        def build64():
+            Dv64 = jnp.asarray(np.asarray(Dv_A)).astype(jnp.float64)
+            M64 = LocalOp(jnp.asarray(np.asarray(M.A)).astype(
+                jnp.float64), space_v, space_v)
+            b00, b01, b10, b11, _ = self._blocks(Dv64, M=M64)
+            system = MultiBlockSystem(
+                space_v, space_v,
+                block_00=b00, block_01=b01,
+                block_10=b10, block_11=b11,
+                n_blocks_00=n_blocks, n_blocks_11=n_blocks,
+                nullspace_0=full_ns, nullspace_1=full_ns,
+                CN=self._CN)
+            bc0 = _apply_per_block(
+                system.ns0, "correct_rhs",
+                jnp.asarray(np.asarray(b_0)).astype(jnp.float64))
+            bc1 = _apply_per_block(
+                system.ns1, "correct_rhs",
+                jnp.asarray(np.asarray(b_1)).astype(jnp.float64))
+            return system.mult, bc0, bc1
 
-        x0 = np.asarray(u0).astype(np.float64)
-        x1 = np.asarray(u1).astype(np.float64)
-        hist = []
-        monitor = outer_sp.get("monitor_convergence", True)
-        for k in range(steps + 1):
-            r0, r1, rn = residual64(x0, x1)
-            hist.append(rn)
-            if monitor:
-                print(f"IR: step {k:d}, true residual norm {rn:.16e}")
-            target = max(rtol * state64["nb"], atol)
-            if rn <= target or k == steps:
-                break
-            r0_d = r0.astype(dtype)
-            r1_d = r1.astype(dtype)
+        def solve_fn(r0, r1):
             if P is None:
-                d0, d1, info_k = run_kernel(kernel, Dv_A, pc_state, r0_d,
-                                            r1_d, z_0, z_1)
-            else:
-                d0, d1, info_k = run_kernel(kernel, Dv_A, r0_d, r1_d,
-                                            z_0, z_1)
-            total_its += int(info_k["iterations"])
-            x0 = x0 + np.asarray(d0).astype(np.float64)
-            x1 = x1 + np.asarray(d1).astype(np.float64)
-        converged = hist[-1] <= max(rtol * state64["nb"], atol)
-        res = np.full(total_its + 2, np.nan)
-        res[:len(hist)] = hist
-        info = SolveInfo(total_its, res, converged, hist[0], hist[-1])
-        info.refinement_steps = len(hist) - 1
-        info.rhs_norm = state64["nb"]
-        # the stored trajectories are cast back to the solve dtype (the
-        # space's storage dtype); the refined f64 solution itself -- whose
-        # true residual is what `hist` certifies -- rides on the info
-        info.x0_f64, info.x1_f64 = x0, x1
-        if not outer_sp.get("preconditioner", False) and not converged:
-            raise RuntimeError("Solver failed to converge")
+                return run_kernel(kernel, Dv_A, pc_state, r0, r1, z_0, z_1)
+            return run_kernel(kernel, Dv_A, r0, r1, z_0, z_1)
+
+        x0, x1, info = run_iterative_refinement(
+            build64, solve_fn, u0, u1, info_d["iterations"], steps,
+            outer_sp, dtype)
         return (jnp.asarray(x0.astype(dtype)), jnp.asarray(x1.astype(dtype)),
                 info)
 
@@ -1332,15 +1289,9 @@ class Instationary:
         # ("refinement_inner_tolerance", default 1e-6) and corrects with up
         # to k f64 true-residual steps on the host CPU -- tolerances below
         # the f32 rounding floor at f32 speed
-        solver_parameters = dict(solver_parameters)
-        ir_steps = int(solver_parameters.pop("iterative_refinement", 0)
-                       or 0)
-        ir_inner = float(solver_parameters.pop(
-            "refinement_inner_tolerance", 1.0e-6))
-        outer_sp = dict(solver_parameters)
-        if ir_steps:
-            solver_parameters["relative_tolerance"] = ir_inner
-            solver_parameters["absolute_tolerance"] = 0.0
+        from .common import pop_refinement_params
+        solver_parameters, outer_sp, ir_steps = pop_refinement_params(
+            solver_parameters)
 
         # cached end-to-end kernel: block construction, preconditioner
         # build and the Krylov loop are all traced as a function of the

@@ -304,6 +304,13 @@ class Stationary:
                                  "absolute_tolerance": 0.0,
                                  "monitor_convergence": print_error}
 
+        # mixed-precision iterative refinement (TPU extension; see
+        # common.run_iterative_refinement): "iterative_refinement": k adds
+        # up to k f64 true-residual corrections around the f32 solve
+        from .common import pop_refinement_params
+        solver_parameters, outer_sp, ir_steps = pop_refinement_params(
+            solver_parameters)
+
         # cached end-to-end kernel (see instationary.linear_solve): the
         # linearisation state D_v and the rhs are kernel arguments, so
         # Picard / Gauss-Newton iterations reuse one compiled executable
@@ -373,7 +380,45 @@ class Stationary:
         u0, u1, info_d = run_kernel(kernel, D_v.A, pc_state, b0s, b1s,
                                     jnp.zeros_like(b0s),
                                     jnp.zeros_like(b1s))
-        info = finalize_solve_info(info_d, solver_parameters)
+        if ir_steps:
+            from .common import run_iterative_refinement
+            from ..solvers.block import _apply_per_block
+            dtype = space_v.mesh.dtype
+
+            def build64():
+                def op64(A):
+                    return LocalOp(jnp.asarray(np.asarray(A)).astype(
+                        jnp.float64), space_v, space_v)
+
+                Dv64 = op64(D_v.A)
+                system = MultiBlockSystem(
+                    space_v, space_v,
+                    block_00={(0, 0): op64(M_v.A)},
+                    block_01={(0, 0): Dv64.T},
+                    block_10={(0, 0): Dv64},
+                    block_11={(0, 0): -(1.0 / beta) * op64(M_zeta.A)},
+                    nullspace_0=(nullspace_v,),
+                    nullspace_1=(nullspace_zeta,))
+                bc0 = _apply_per_block(
+                    system.ns0, "correct_rhs",
+                    jnp.asarray(np.asarray(b0s)).astype(jnp.float64))
+                bc1 = _apply_per_block(
+                    system.ns1, "correct_rhs",
+                    jnp.asarray(np.asarray(b1s)).astype(jnp.float64))
+                return system.mult, bc0, bc1
+
+            def solve_fn(r0, r1):
+                return run_kernel(kernel, D_v.A, pc_state, r0, r1,
+                                  jnp.zeros_like(b0s),
+                                  jnp.zeros_like(b1s))
+
+            x0, x1, info = run_iterative_refinement(
+                build64, solve_fn, u0, u1, info_d["iterations"],
+                ir_steps, outer_sp, dtype)
+            u0 = jnp.asarray(x0.astype(dtype))
+            u1 = jnp.asarray(x1.astype(dtype))
+        else:
+            info = finalize_solve_info(info_d, solver_parameters)
         v = Function(space_v, name="v", data=u0[0])
         zeta = Function(space_v, name="zeta", data=u1[0])
         self.last_solve_info = info

@@ -86,6 +86,38 @@ def test_refinement_reaches_f64_accuracy():
     assert d <= 1e-4 * max(np.linalg.norm(v_plain), 1.0), d
 
 
+def test_refinement_stationary():
+    """Stationary.linear_solve supports the same refinement keys: an f32
+    stationary KKT solve reaches a 1e-11 TRUE (f64) relative residual."""
+    mesh = UnitSquareMesh(8, 8, quadrilateral=True, dtype=jnp.float32)
+    space = FunctionSpace(mesh, "Lagrange", 1)
+    X = SpatialCoordinate(mesh)
+
+    def forw_diff_operator(trial, test, u):
+        return inner(grad(trial), grad(test)) * dx
+
+    def desired_state(test):
+        v_d = Function(space).interpolate(
+            cos(0.5 * pi * (X[0] - 1.0)) * cos(0.5 * pi * (X[1] - 1.0)))
+        return inner(v_d, test) * dx, v_d
+
+    def force_f(test):
+        return inner(Function(space), test) * dx
+
+    ctl = Control.Stationary(
+        space, forw_diff_operator, desired_state=desired_state,
+        force_f=force_f, beta=1e-3,
+        bcs_v=DirichletBC(space, 0.0, "on_boundary"))
+    ctl.linear_solve(lambda_v_bounds=(0.25, 2.25),
+                     solver_parameters=_sp(1e-11, iterative_refinement=6),
+                     print_error=False, create_output=False, plots=False)
+    info = ctl.last_solve_info
+    assert info.converged
+    assert info.refinement_steps >= 1
+    assert info.rnorm <= 1.01e-11 * info.rhs_norm
+    assert np.asarray(ctl._v.data).dtype == np.float32
+
+
 def test_refinement_noop_in_f64():
     """On an f64 problem the first solve already meets the target: zero
     correction steps, same executable, no behavior change."""
