@@ -214,9 +214,17 @@ def run_iterative_refinement(build64, solve_fn, u0, u1, base_iterations,
     precision (f32).
 
     ``build64()`` is called once, lazily, inside an f64 host-CPU context;
-    it returns ``(mult, bc0, bc1)``: the f64 block-operator application
-    and the corrected f64 rhs blocks.  ``solve_fn(r0, r1)`` runs one inner
-    solve in the accelerator dtype and returns ``(d0, d1, info_dict)``.
+    it returns ``(mult, bc0, bc1)`` -- the f64 block-operator application
+    and the corrected f64 rhs blocks -- plus optionally a fourth element
+    ``proj(a0, a1) -> (a0, a1)``, the nullspace projection onto the
+    solvable quotient (bc rows zeroed, per-block constants removed).  The
+    projection is applied to the iterate and the residual: nullspace
+    components (e.g. the pressure mean, defined only up to a constant)
+    carry f32 rounding noise from the inner solves that no correction can
+    remove -- without the projection they put an artificial
+    ~u_f32*|x|*sqrt(N) floor under the measured true residual.
+    ``solve_fn(r0, r1)`` runs one inner solve in the accelerator dtype
+    and returns ``(d0, d1, info_dict)``.
 
     Returns ``(x0_f64, x1_f64, SolveInfo)``; raises on non-convergence
     unless ``outer_sp['preconditioner']``."""
@@ -227,22 +235,39 @@ def run_iterative_refinement(build64, solve_fn, u0, u1, base_iterations,
     cpu = jax.devices("cpu")[0]
     state64 = {}
 
+    def _ensure_built():
+        if not state64:
+            out = build64()
+            mult, bc0, bc1 = out[:3]
+            proj = out[3] if len(out) > 3 else None
+            nb = float(jnp.sqrt(jnp.vdot(bc0, bc0)
+                                + jnp.vdot(bc1, bc1)))
+            state64.update(mult=mult, bc0=bc0, bc1=bc1, nb=nb,
+                           proj=proj)
+
+    def project(a0_np, a1_np):
+        with x64_context(), jax.default_device(cpu):
+            _ensure_built()
+            if state64["proj"] is None:
+                return a0_np, a1_np
+            p0, p1 = state64["proj"](jnp.asarray(a0_np),
+                                     jnp.asarray(a1_np))
+            return np.asarray(p0), np.asarray(p1)
+
     def residual64(x0_np, x1_np):
         with x64_context(), jax.default_device(cpu):
-            if not state64:
-                mult, bc0, bc1 = build64()
-                nb = float(jnp.sqrt(jnp.vdot(bc0, bc0)
-                                    + jnp.vdot(bc1, bc1)))
-                state64.update(mult=mult, bc0=bc0, bc1=bc1, nb=nb)
+            _ensure_built()
             y0, y1 = state64["mult"](jnp.asarray(x0_np),
                                      jnp.asarray(x1_np))
             r0 = state64["bc0"] - y0
             r1 = state64["bc1"] - y1
+            if state64["proj"] is not None:
+                r0, r1 = state64["proj"](r0, r1)
             rn = float(jnp.sqrt(jnp.vdot(r0, r0) + jnp.vdot(r1, r1)))
             return np.asarray(r0), np.asarray(r1), rn
 
-    x0 = np.asarray(u0).astype(np.float64)
-    x1 = np.asarray(u1).astype(np.float64)
+    x0, x1 = project(np.asarray(u0).astype(np.float64),
+                     np.asarray(u1).astype(np.float64))
     hist = []
     monitor = outer_sp.get("monitor_convergence", True)
     for k in range(steps + 1):
@@ -253,10 +278,18 @@ def run_iterative_refinement(build64, solve_fn, u0, u1, base_iterations,
         target = max(rtol * state64["nb"], atol)
         if rn <= target or k == steps:
             break
+        if k > 0 and rn > 0.8 * hist[-2]:
+            # refinement has hit the u_solve * cond(A) floor (each step
+            # contracts the error by ~ that factor); more accelerator
+            # solves cannot help
+            if monitor:
+                print("IR: stalled (contraction factor "
+                      f"{rn / hist[-2]:.2f}); stopping")
+            break
         d0, d1, info_k = solve_fn(r0.astype(dtype), r1.astype(dtype))
         total_its += int(info_k["iterations"])
-        x0 = x0 + np.asarray(d0).astype(np.float64)
-        x1 = x1 + np.asarray(d1).astype(np.float64)
+        x0, x1 = project(x0 + np.asarray(d0).astype(np.float64),
+                         x1 + np.asarray(d1).astype(np.float64))
     converged = hist[-1] <= max(rtol * state64["nb"], atol)
     res = np.full(total_its + 2, np.nan)
     res[:len(hist)] = hist
@@ -298,8 +331,8 @@ class BlockSolver:
             self.params = (self.config.build(inner.A) if state is None
                            else state)
             self.state = self.params
-        elif op.trial_space.ndim != 2:
-            # node-stencil fast path is 2-D only; 3-D applies the LocalOp
+        elif op.trial_space.ndim != 2 and op.trial_space.dim is not None:
+            # 3-D vector spaces have no node-stencil fold; apply the LocalOp
             if state is None:
                 d = self.op.diag()
                 self.diag = jnp.where(d == 0, 1.0, d)
@@ -326,6 +359,25 @@ class BlockSolver:
             return self.config.apply(self.params, b, cycles=self.kind[1])
         if self.kind[0] == "cheb":
             _, bounds, iters = self.kind
+            from ..ops.stencil import StencilOp, fused_cheb_smooth
+            if isinstance(self.op, StencilOp):
+                # identical recurrence to krylov.chebyshev, but as ONE
+                # fused kernel: the stencil-weight planes stay
+                # VMEM-resident across all `iters` steps instead of being
+                # re-streamed from HBM (with intermediate r/p/x round
+                # trips) every step
+                theta = 0.5 * (bounds[1] + bounds[0])
+                delta = 0.5 * (bounds[1] - bounds[0])
+                core = self.op.nd + (0 if self.op.space.dim is None
+                                     else 1)
+                lead = b.shape[:b.ndim - core]
+                grid = b.shape[b.ndim - core:]
+                bf = b.reshape((-1,) + grid)
+                x = fused_cheb_smooth(self.op.w, 1.0 / self.diag, bf,
+                                      jnp.zeros_like(bf), iters, theta,
+                                      delta, self.op.degree,
+                                      nd=self.op.nd)
+                return x.reshape(lead + grid)
             return chebyshev(self.op.apply, b, bounds, iters,
                              M=lambda r: r / self.diag)
         return b / self.diag

@@ -88,16 +88,16 @@ def _stack_apply(space_trial, space_test, A, x):
 
 def _fast_stack_applier(space, A):
     """Batched stacked-operator application via the node-stencil fast path
-    (one fused kernel per apply on TPU for scalar spaces; fused
-    shift/multiply-adds with dim x dim coupling blocks for vector
-    spaces).  3-D spaces use the gather/scatter path (the stencil fold is
-    2-D only)."""
-    if space.ndim != 2:
+    (one fused kernel per apply on TPU for 2-D scalar spaces; fused
+    shift/multiply-adds with dim x dim coupling blocks for 2-D vector
+    spaces and (2d+1)^3 stencils for 3-D scalars).  3-D vector spaces use
+    the gather/scatter path (no vector stencil fold)."""
+    if space.ndim != 2 and space.dim is not None:
         return lambda x: _stack_apply(space, space, A, x)
     from ..ops.stencil import node_stencil, apply_stencil
     w = node_stencil(A, space)
-    d = space.degree
-    return lambda x: apply_stencil(w, x, d)
+    d, nd = space.degree, space.ndim
+    return lambda x: apply_stencil(w, x, d, nd=nd)
 
 
 class _SweepSolver:
@@ -115,7 +115,7 @@ class _SweepSolver:
         self.space, self.mask, self.cycles = space, mask, cycles
         self.config = MGConfig(space, mask)
         self.shared = diag_A.shape[0] == 1
-        self.stencil_sub = space.ndim == 2
+        self.stencil_sub = space.ndim == 2 or space.dim is None
         if state is not None:
             self.params = state["params"]
             self.sub = state["sub"]
@@ -136,7 +136,8 @@ class _SweepSolver:
     def _sub_apply(self, S_i, u):
         if self.stencil_sub:
             from ..ops.stencil import apply_stencil
-            return apply_stencil(S_i, u, self.space.degree)
+            return apply_stencil(S_i, u, self.space.degree,
+                                 nd=self.space.ndim)
         xe = self.space.gather(u)
         return self.space.scatter_add(
             jnp.matmul(S_i, xe[..., None])[..., 0])
@@ -179,7 +180,8 @@ class _SweepSolver:
             shifted = jnp.concatenate([jnp.zeros_like(u[:1]), u[:-1]])
             if self.stencil_sub:
                 from ..ops.stencil import apply_stencil
-                return apply_stencil(sub, shifted, self.space.degree)
+                return apply_stencil(sub, shifted, self.space.degree,
+                                     nd=self.space.ndim)
             return self._sub_apply(sub, shifted)
 
         mk = mask[None] if mask is not None else None
@@ -319,9 +321,9 @@ class _ParaDiagSweep:
             self.params = jax.vmap(self.config.build)(A_k)
             # exact bidiagonal factor stencils for the defect correction
             # (masked rows: identity on the diagonal factor, zero on the
-            # sub-diagonal); 3-D keeps the local matrices and applies them
-            # on the gather/scatter path (_factor_apply)
-            if space.ndim == 2:
+            # sub-diagonal); 3-D vector spaces keep the local matrices and
+            # apply them on the gather/scatter path (_factor_apply)
+            if space.ndim == 2 or space.dim is None:
                 from ..ops.stencil import node_stencil
                 self._wF = node_stencil(diag_A[0], space, mask=mask)
                 self._wS = node_stencil(
@@ -372,7 +374,7 @@ class _ParaDiagSweep:
 
     def _factor_apply(self, u):
         """Exact y_i = F u_i + S u_{i-1} (bc rows: identity)."""
-        if self.space.ndim != 2:
+        if self.space.ndim != 2 and self.space.dim is not None:
             from ..ops.local_op import LocalOp, MaskedOp
             F = LocalOp(self._wF, self.space, self.space)
             S = LocalOp(self._wS, self.space, self.space)
@@ -382,9 +384,9 @@ class _ParaDiagSweep:
             y = F.apply(u)
             return y.at[1:].add(S.apply(u[:-1]))
         from ..ops.stencil import apply_stencil
-        d = self.space.degree
-        y = apply_stencil(self._wF, u, d)
-        y = y.at[1:].add(apply_stencil(self._wS, u[:-1], d))
+        d, nd = self.space.degree, self.space.ndim
+        y = apply_stencil(self._wF, u, d, nd=nd)
+        y = y.at[1:].add(apply_stencil(self._wS, u[:-1], d, nd=nd))
         return y
 
     def solve(self, b, reverse=False):
@@ -1229,7 +1231,12 @@ class Instationary:
             bc1 = _apply_per_block(
                 system.ns1, "correct_rhs",
                 jnp.asarray(np.asarray(b_1)).astype(jnp.float64))
-            return system.mult, bc0, bc1
+
+            def proj(a0, a1):
+                return (_apply_per_block(system.ns0, "correct_rhs", a0),
+                        _apply_per_block(system.ns1, "correct_rhs", a1))
+
+            return system.mult, bc0, bc1, proj
 
         def solve_fn(r0, r1):
             if P is None:
@@ -1868,6 +1875,13 @@ class Instationary:
 
         Dp_A = self._D_p_stack(self._v.data) if P is None else None
 
+        # mixed-precision iterative refinement (see linear_solve /
+        # common.run_iterative_refinement); on TPU this is how the
+        # incompressible f32 host-loop solves certify f64-level residuals
+        from .common import pop_refinement_params
+        solver_parameters, outer_sp, ir_steps = pop_refinement_params(
+            solver_parameters)
+
         from .common import (array_token, params_token, run_kernel,
                              device_zeros_like)
         from ..solvers.block import finalize_solve_info
@@ -1985,6 +1999,35 @@ class Instationary:
                            "M_p": solver_M_p.state}
             return system, pc_fn
 
+        def build64():
+            # f64 operator + corrected rhs for the refinement residuals
+            def cast(A):
+                return jnp.asarray(np.asarray(A)).astype(jnp.float64)
+
+            from ..solvers.block import _apply_per_block
+            B64 = LocalOp(cast(B.A), B.trial_space, B.test_space)
+            BT64 = LocalOp(cast(B_T.A), B_T.trial_space, B_T.test_space)
+            M64 = LocalOp(cast(M.A), space_v, space_v)
+            b00, b01, b10, b11, _ = self._incompressible_blocks(
+                cast(Dv_A), B64, BT64, M=M64)
+            system = MultiBlockSystem(
+                space_v, space_p,
+                block_00=b00, block_01=b01,
+                block_10=b10, block_11=b11,
+                n_blocks_00=2 * n, n_blocks_11=2 * n,
+                sub_n_blocks_00_0=(n if self._CN else None),
+                sub_n_blocks_11_0=(n if self._CN else None),
+                nullspace_0=full_ns_0, nullspace_1=full_ns_1,
+                CN=self._CN)
+            bc0 = _apply_per_block(system.ns0, "correct_rhs", cast(b_0))
+            bc1 = _apply_per_block(system.ns1, "correct_rhs", cast(b_1))
+
+            def proj(a0, a1):
+                return (_apply_per_block(system.ns0, "correct_rhs", a0),
+                        _apply_per_block(system.ns1, "correct_rhs", a1))
+
+            return system.mult, bc0, bc1, proj
+
         # the single fused-program solve of large incompressible
         # space-time systems exceeds what the single-chip TPU backend can
         # execute (runtime kernel faults past ~16^2 x 3); on accelerators
@@ -2044,6 +2087,17 @@ class Instationary:
                     solver_parameters=solver_parameters,
                     pc_fn=pc_fn_s, jit_store=store, op_state=state,
                     mult_fn=mult_fn)
+
+                def solve_fn(r0, r1):
+                    d0f = MixedFunction(space_v, 2 * n)
+                    d1f = MixedFunction(space_p, 2 * n)
+                    info_k = system0.solve_host(
+                        d0f, d1f, r0, r1,
+                        solver_parameters=solver_parameters,
+                        pc_fn=pc_fn_s, jit_store=store, op_state=state,
+                        mult_fn=mult_fn)
+                    return d0f.data, d1f.data, \
+                        {"iterations": info_k.iterations}
             else:
                 # user-supplied pc: cache pieces per linearisation state
                 htok = (key, array_token(Dv_A))
@@ -2057,6 +2111,16 @@ class Instationary:
                     u_0_sol, u_1_sol, b_0, b_1,
                     solver_parameters=solver_parameters,
                     pc_fn=pc_fn, jit_store=store)
+
+                def solve_fn(r0, r1):
+                    d0f = MixedFunction(space_v, 2 * n)
+                    d1f = MixedFunction(space_p, 2 * n)
+                    info_k = system.solve_host(
+                        d0f, d1f, r0, r1,
+                        solver_parameters=solver_parameters,
+                        pc_fn=pc_fn, jit_store=store)
+                    return d0f.data, d1f.data, \
+                        {"iterations": info_k.iterations}
             u0, u1 = u_0_sol.data, u_1_sol.data
         else:
             def builder():
@@ -2103,6 +2167,19 @@ class Instationary:
                 u0, u1, info_d = run_kernel(kernel, Dv_A, b_0, b_1,
                                             z_0, z_1)
             info = finalize_solve_info(info_d, solver_parameters)
+
+            def solve_fn(r0, r1):
+                if P is None:
+                    return run_kernel(kernel, Dv_A, Dp_A, pc_state,
+                                      r0, r1, z_0, z_1)
+                return run_kernel(kernel, Dv_A, r0, r1, z_0, z_1)
+        if ir_steps:
+            from .common import run_iterative_refinement
+            x0, x1, info = run_iterative_refinement(
+                build64, solve_fn, u0, u1, info.iterations, ir_steps,
+                outer_sp, dtype)
+            u0 = jnp.asarray(x0.astype(dtype))
+            u1 = jnp.asarray(x1.astype(dtype))
         self.last_solve_info = info
 
         internal_rhs = v_d is None and f is None

@@ -405,7 +405,14 @@ class Stationary:
                 bc1 = _apply_per_block(
                     system.ns1, "correct_rhs",
                     jnp.asarray(np.asarray(b1s)).astype(jnp.float64))
-                return system.mult, bc0, bc1
+
+                def proj(a0, a1):
+                    return (_apply_per_block(system.ns0, "correct_rhs",
+                                             a0),
+                            _apply_per_block(system.ns1, "correct_rhs",
+                                             a1))
+
+                return system.mult, bc0, bc1, proj
 
             def solve_fn(r0, r1):
                 return run_kernel(kernel, D_v.A, pc_state, r0, r1,

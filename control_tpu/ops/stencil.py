@@ -13,6 +13,7 @@ smoothers and Schur substitutions, which the reference delegates to
 hypre/PETSc CSR matvecs.
 """
 
+import itertools
 from functools import partial
 
 import numpy as np
@@ -20,17 +21,19 @@ import jax
 import jax.numpy as jnp
 
 
-def stencil_offsets(degree):
-    d = degree
-    return [(dy, dx) for dy in range(-d, d + 1) for dx in range(-d, d + 1)]
+def stencil_offsets(degree, nd=2):
+    """(2d+1)**nd node offsets, lexicographic major-to-minor
+    ([dz,] dy, dx) -- matching the node-grid axis order."""
+    rng = range(-degree, degree + 1)
+    return list(itertools.product(rng, repeat=nd))
 
 
 def node_stencil(A, space, mask=None, alpha=1.0):
     """Fold local matrices ``A`` (*batch, E|1, b, a) into node-stencil
-    weights: (*batch, K, ny, nx) on scalar spaces, or
-    (*batch, K, ny, nx, dim, dim) on vector spaces (a dim x dim
-    component-coupling block per offset per node; dof layout is
-    node-major/component-minor, see local_op._global_indices).
+    weights: (*batch, K, *grid) on scalar spaces (2-D and 3-D; K =
+    (2d+1)**ndim), or (*batch, K, ny, nx, dim, dim) on 2-D vector spaces
+    (a dim x dim component-coupling block per offset per node; dof layout
+    is node-major/component-minor, see local_op._global_indices).
 
     ``mask`` (optional boolean grid, trailing dim axis on vector spaces)
     applies symmetric Dirichlet elimination: masked rows become
@@ -38,43 +41,49 @@ def node_stencil(A, space, mask=None, alpha=1.0):
     """
     d = space.degree
     if space.dim is not None:
+        if space.ndim != 2:
+            raise NotImplementedError("vector node stencils are 2-D only")
         return _node_stencil_vector(A, space, mask, alpha)
     m = space.mesh
-    K = (2 * d + 1) ** 2
+    nd = space.ndim
+    K = (2 * d + 1) ** nd
     batch = A.shape[:-3]
-    E = A.shape[-3]
     dtype = A.dtype
+    cells = (m.nz, m.ny, m.nx) if nd == 3 else (m.ny, m.nx)
+    grid = space.grid_shape
     Af = jnp.broadcast_to(A, batch + (m.n_cells,) + A.shape[-2:])
-    Af = Af.reshape(batch + (m.ny, m.nx) + A.shape[-2:])
+    Af = Af.reshape(batch + cells + A.shape[-2:])
 
-    w = jnp.zeros(batch + (K, space.nodes_y, space.nodes_x), dtype)
+    w = jnp.zeros(batch + (K,) + grid, dtype)
     nl = d + 1
-    for b in range(nl * nl):
-        by, bx = divmod(b, nl)
-        sy = slice(by, by + d * (m.ny - 1) + 1, d)
-        sx = slice(bx, bx + d * (m.nx - 1) + 1, d)
-        for a in range(nl * nl):
-            ay, ax = divmod(a, nl)
-            k = (d + ay - by) * (2 * d + 1) + (d + ax - bx)
-            w = w.at[..., k, sy, sx].add(Af[..., b, a])
+    offs = stencil_offsets(d, nd)
+    kidx = {off: k for k, off in enumerate(offs)}
+    full = (slice(None),) * nd
+    for b, bt in enumerate(itertools.product(range(nl), repeat=nd)):
+        sb = tuple(slice(bi, bi + d * (nc - 1) + 1, d)
+                   for bi, nc in zip(bt, cells))
+        for a, at in enumerate(itertools.product(range(nl), repeat=nd)):
+            k = kidx[tuple(ai - bi for ai, bi in zip(at, bt))]
+            w = w.at[(Ellipsis, k) + sb].add(Af[..., b, a])
     if mask is not None:
         mk = jnp.asarray(mask)
         # zero masked rows
-        w = jnp.where(mk[None, :, :], 0.0, w)
+        w = jnp.where(mk[None], 0.0, w)
         # zero masked columns: weight k at node p reads x[p + off_k]
-        for k, (dy, dx) in enumerate(stencil_offsets(d)):
+        for k, off in enumerate(offs):
             src = jnp.zeros_like(mk)
-            ys = slice(max(0, -dy), space.nodes_y - max(0, dy))
-            yd = slice(max(0, dy), space.nodes_y - max(0, -dy))
-            xs = slice(max(0, -dx), space.nodes_x - max(0, dx))
-            xd = slice(max(0, dx), space.nodes_x - max(0, -dx))
-            src = src.at[ys, xs].set(mk[yd, xd])
-            w = w.at[..., k, :, :].set(
-                jnp.where(src, 0.0, w[..., k, :, :]))
+            ss = tuple(slice(max(0, -o), g - max(0, o))
+                       for o, g in zip(off, grid))
+            sd = tuple(slice(max(0, o), g - max(0, -o))
+                       for o, g in zip(off, grid))
+            src = src.at[ss].set(mk[sd])
+            w = w.at[(Ellipsis, k) + full].set(
+                jnp.where(src, 0.0, w[(Ellipsis, k) + full]))
         # alpha * identity on masked rows
         kc = K // 2
-        w = w.at[..., kc, :, :].set(
-            jnp.where(mk, jnp.asarray(alpha, dtype), w[..., kc, :, :]))
+        w = w.at[(Ellipsis, kc) + full].set(
+            jnp.where(mk, jnp.asarray(alpha, dtype),
+                      w[(Ellipsis, kc) + full]))
     return w
 
 
@@ -138,10 +147,11 @@ def _is_vector_stencil(w, x):
     return w.ndim >= 5
 
 
-def _apply_xla(w, x, degree):
-    """Shifted multiply-add path (portable)."""
+def _apply_xla(w, x, degree, nd=2):
+    """Shifted multiply-add path (portable; scalar path is
+    dimension-generic)."""
     d = degree
-    if _is_vector_stencil(w, x):
+    if nd == 2 and _is_vector_stencil(w, x):
         # x: (..., ny, nx, dim); w: (..., K, ny, nx, dim, dim)
         ny, nx = x.shape[-3:-1]
         pad = [(0, 0)] * (x.ndim - 3) + [(d, d), (d, d), (0, 0)]
@@ -153,13 +163,15 @@ def _apply_xla(w, x, degree):
                               sl)
             out = term if out is None else out + term
         return out
-    ny, nx = x.shape[-2:]
-    pad = [(0, 0)] * (x.ndim - 2) + [(d, d), (d, d)]
+    grid = x.shape[-nd:]
+    full = (slice(None),) * nd
+    pad = [(0, 0)] * (x.ndim - nd) + [(d, d)] * nd
     xp = jnp.pad(x, pad)
     out = None
-    for k, (dy, dx) in enumerate(stencil_offsets(d)):
-        sl = xp[..., d + dy: d + dy + ny, d + dx: d + dx + nx]
-        term = w[..., k, :, :] * sl
+    for k, off in enumerate(stencil_offsets(d, nd)):
+        sl = xp[(Ellipsis,) + tuple(slice(d + o, d + o + g)
+                                    for o, g in zip(off, grid))]
+        term = w[(Ellipsis, k) + full] * sl
         out = term if out is None else out + term
     return out
 
@@ -234,13 +246,17 @@ def _vmem_ok_complex(degree, ny, nx, rdtype):
     return planes * _padded_plane_bytes(ny, nx, rdtype) < _VMEM_BUDGET
 
 
-def apply_stencil(w, x, degree, use_pallas=None):
+def apply_stencil(w, x, degree, use_pallas=None, nd=2):
     """y = stencil(w) @ x.
 
-    w: (K, ny, nx) or (n, K, ny, nx); x: (ny, nx) or (n, ny, nx) -- the
+    w: (K, *grid) or (n, K, *grid); x: (*grid) or (n, *grid) -- the
     batch dims broadcast (shared weights across a time batch are fine).
+    ``nd``: spatial dimension of the node grid (the single-pass Pallas
+    kernel is 2-D scalar only; 3-D and vector run shifted multiply-adds).
     """
     d = degree
+    if nd != 2:
+        return _apply_xla(w, x, degree, nd=nd)
     if _is_vector_stencil(w, x):
         return _apply_xla(w, x, degree)
     if use_pallas is None:
@@ -279,7 +295,7 @@ def _expand_bound(s, b):
 
 def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
                       want_residual=False, use_pallas=None,
-                      interpret=False, weight_dtype=None):
+                      interpret=False, weight_dtype=None, nd=2):
     """``steps`` Chebyshev-Jacobi smoothing iterations (+ optionally the
     final residual) as ONE fused kernel on TPU.
 
@@ -298,7 +314,7 @@ def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
     fallback applies the same rounding so both paths match numerically.
     """
     d = degree
-    if _is_vector_stencil(w, b):
+    if nd != 2 or _is_vector_stencil(w, b):
         use_pallas = False
     ny, nx = b.shape[-2:]
     is_complex = jnp.iscomplexobj(b)
@@ -337,7 +353,7 @@ def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
         delta_b = _expand_bound(delta, b)
         sigma1_b = _expand_bound(sigma1, b)
         x = x0
-        r = b - apply_stencil(w, x, d, use_pallas=False)
+        r = b - apply_stencil(w, x, d, use_pallas=False, nd=nd)
         p = (r * dinv) / theta_b
         x = x + p
         rho0 = jnp.broadcast_to(1.0 / sigma1_b,
@@ -348,14 +364,14 @@ def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
         # incompressible programs)
         def body(_, carry):
             x, p, rho = carry
-            r = b - apply_stencil(w, x, d, use_pallas=False)
+            r = b - apply_stencil(w, x, d, use_pallas=False, nd=nd)
             rho_new = 1.0 / (2.0 * sigma1_b - rho)
             p = rho_new * rho * p + (2.0 * rho_new / delta_b) * (r * dinv)
             return (x + p, p, rho_new)
 
         x, p, _ = _lax.fori_loop(0, steps - 1, body, (x, p, rho0))
         if want_residual:
-            r = b - apply_stencil(w, x, d, use_pallas=False)
+            r = b - apply_stencil(w, x, d, use_pallas=False, nd=nd)
             return x, r
         return x
 
@@ -575,21 +591,21 @@ def _fused_cheb_complex(w, dinv, b, x0, steps, theta, delta, degree,
     return (x_out, r_out) if want_residual else x_out
 
 
-def stencil_diag(w, vector):
-    """Assembled diagonal from stencil weights: (..., ny, nx[, dim])."""
+def stencil_diag(w, vector, nd=2):
+    """Assembled diagonal from stencil weights: (..., *grid[, dim])."""
     if vector:
         K = w.shape[-5]
         c = w[..., K // 2, :, :, :, :]
         return jnp.diagonal(c, axis1=-2, axis2=-1)
-    K = w.shape[-3]
-    return w[..., K // 2, :, :]
+    K = w.shape[-(nd + 1)]
+    return jnp.take(w, K // 2, axis=-(nd + 1))
 
 
-def stencil_abs_rowsum(w, vector):
-    """Row sums of |weights| (Gershgorin): (..., ny, nx[, dim])."""
+def stencil_abs_rowsum(w, vector, nd=2):
+    """Row sums of |weights| (Gershgorin): (..., *grid[, dim])."""
     if vector:
         return jnp.sum(jnp.abs(w), axis=(-5, -1))
-    return jnp.sum(jnp.abs(w), axis=-3)
+    return jnp.sum(jnp.abs(w), axis=-(nd + 1))
 
 
 class StencilOp:
@@ -604,6 +620,7 @@ class StencilOp:
         self.space = space
         self.w = w
         self.degree = space.degree if degree is None else degree
+        self.nd = space.ndim
 
     @classmethod
     def from_local(cls, op, mask=None, alpha=1.0):
@@ -616,13 +633,14 @@ class StencilOp:
         return cls(op.trial_space, w)
 
     def apply(self, x):
-        return apply_stencil(self.w, x, self.degree)
+        return apply_stencil(self.w, x, self.degree, nd=self.nd)
 
     def __call__(self, x):
         return self.apply(x)
 
     def diag(self):
-        return stencil_diag(self.w, self.space.dim is not None)
+        return stencil_diag(self.w, self.space.dim is not None, nd=self.nd)
 
     def abs_rowsum(self):
-        return stencil_abs_rowsum(self.w, self.space.dim is not None)
+        return stencil_abs_rowsum(self.w, self.space.dim is not None,
+                                  nd=self.nd)

@@ -346,16 +346,18 @@ class MGConfig:
 
     @property
     def use_stencil(self):
-        # the node-stencil fast path is 2-D only; 3-D hierarchies run on
-        # the gather/scatter LocalOp path
-        return self.spaces[0].ndim == 2
+        # node-stencil fast path: any 2-D space, or 3-D scalar ((2d+1)^3
+        # stencils); 3-D vector hierarchies run gather/scatter LocalOp
+        sp = self.spaces[0]
+        return sp.ndim == 2 or sp.dim is None
 
     def _appliers(self, params):
         """Per-level apply callables (stencil fast path on scalar spaces)."""
         if self.use_stencil:
             from ..ops.stencil import apply_stencil
             return [
-                (lambda w=w, d=sp.degree: lambda x: apply_stencil(w, x, d))()
+                (lambda w=w, d=sp.degree, nd=sp.ndim:
+                 lambda x: apply_stencil(w, x, d, nd=nd))()
                 for w, sp in zip(params["Ws"], self.spaces)]
         ops = self._ops(params["As"])
         return [o.apply for o in ops]
@@ -375,11 +377,12 @@ class MGConfig:
             for A_l, sp_l, mk in zip(As, self.spaces, self.masks):
                 w = node_stencil(A_l, sp_l, mask=mk)
                 Ws.append(w)
-                d = stencil_diag(w, vec)
+                d = stencil_diag(w, vec, nd=sp_l.ndim)
                 d = jnp.where(d == 0, 1.0, d)
                 diags.append(d)
                 dinvs.append(1.0 / d)
-                lams.append(jnp.max(stencil_abs_rowsum(w, vec)
+                lams.append(jnp.max(stencil_abs_rowsum(w, vec,
+                                                       nd=sp_l.ndim)
                                     / jnp.abs(d)))
             params = {"Ws": Ws, "diags": diags, "dinvs": dinvs,
                       "lams": jnp.stack(lams)}
@@ -447,9 +450,10 @@ class MGConfig:
             dinv = params["dinvs"][lvl]
             theta, delta = self._bounds(params["lams"][..., lvl])
             deg = self.spaces[lvl].degree
+            nd = self.spaces[lvl].ndim
             x, r = fused_cheb_smooth(w, dinv, b, x, self.pre, theta, delta,
                                      deg, want_residual=True,
-                                     weight_dtype=self.weight_dtype)
+                                     weight_dtype=self.weight_dtype, nd=nd)
             rc = tr.restrict(r)
             if mk is not None:
                 rc = jnp.where(mk, 0.0, rc)
@@ -459,7 +463,8 @@ class MGConfig:
                 ec = jnp.where(mk, 0.0, ec)
             x = x + tr.prolong(ec)
             x = fused_cheb_smooth(w, dinv, b, x, self.post, theta, delta,
-                                  deg, weight_dtype=self.weight_dtype)
+                                  deg, weight_dtype=self.weight_dtype,
+                                  nd=nd)
             return x
         x = self._smooth(appliers[lvl], params["diags"][lvl],
                          params["lams"][..., lvl], b, x, self.pre)

@@ -8,9 +8,10 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from control_tpu import (Control, UnitSquareMesh, FunctionSpace, Function,
-                         SpatialCoordinate, DirichletBC, grad, inner, dx,
-                         cos, pi)
+from control_tpu import (Control, UnitSquareMesh, FunctionSpace,
+                         VectorFunctionSpace, Function, SpatialCoordinate,
+                         DirichletBC, ConstantNullspace, grad, inner, dx,
+                         sin, cos, pi)
 
 
 def _f32_heat(n=8, n_t=6):
@@ -116,6 +117,51 @@ def test_refinement_stationary():
     assert info.refinement_steps >= 1
     assert info.rnorm <= 1.01e-11 * info.rhs_norm
     assert np.asarray(ctl._v.data).dtype == np.float32
+
+
+def test_refinement_incompressible_stokes():
+    """The incompressible (Taylor-Hood Stokes) solve supports refinement:
+    an f32 space-time Stokes KKT solve reaches a 1e-10 TRUE (f64)
+    relative residual -- on TPU this is how the host-loop f32 solves
+    certify tolerances below the f32 floor."""
+    mesh = UnitSquareMesh(4, 4, quadrilateral=True, dtype=jnp.float32)
+    space_v = VectorFunctionSpace(mesh, "Lagrange", 2)
+    space_p = FunctionSpace(mesh, "Lagrange", 1)
+    X = SpatialCoordinate(mesh)
+
+    def forw_diff_operator(trial, test, u, t):
+        return inner(grad(trial), grad(test)) * dx
+
+    def desired_state(test, t):
+        v_d = Function(space_v).interpolate(
+            (sin(pi * X[0]) * sin(2.0 * pi * X[1]),
+             sin(2.0 * pi * X[0]) * sin(pi * X[1])))
+        return inner(v_d, test) * dx, v_d
+
+    def force_f(test, t):
+        return inner(Function(space_v), test) * dx
+
+    def bc_t(space_0, t):
+        return DirichletBC(space_0, (0.0, 0.0), "on_boundary")
+
+    ctl = Control.Instationary(
+        space_v, forw_diff_operator, desired_state=desired_state,
+        force_f=force_f, beta=1e-2, space_p=space_p, n_t=4,
+        time_interval=(0.0, 1.0), CN=True, bcs_v=bc_t)
+    info = ctl.incompressible_linear_solve(
+        ConstantNullspace(),
+        lambda_v_bounds=(0.25, 1.5625), lambda_p_bounds=(0.25, 2.25),
+        solver_parameters={"linear_solver": "fgmres",
+                           "fgmres_restart": 10,
+                           "maximum_iterations": 100,
+                           "relative_tolerance": 1e-10,
+                           "absolute_tolerance": 0.0,
+                           "monitor_convergence": False,
+                           "iterative_refinement": 8},
+        print_error=False, create_output=False, plots=False)
+    assert info.converged
+    assert info.refinement_steps >= 1
+    assert info.rnorm <= 1.01e-10 * info.rhs_norm
 
 
 def test_refinement_noop_in_f64():

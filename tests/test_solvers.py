@@ -91,6 +91,41 @@ def test_chebyshev_mass_solve(quad, degree, bounds):
     assert rel < 1e-6
 
 
+@pytest.mark.parametrize("vector,batch", [(False, ()), (False, (3,)),
+                                          (False, (2, 3)), (True, (3,))])
+def test_blocksolver_cheb_fused_matches_reference_recurrence(vector, batch):
+    """BlockSolver's fused-kernel Chebyshev path (stencil weights resident
+    across all steps) computes the same recurrence as krylov.chebyshev to
+    roundoff, for scalar/vector spaces and arbitrary leading batch axes."""
+    from control_tpu.models.common import mass_solver
+    mesh = UnitSquareMesh(8, 8, quadrilateral=True)
+    V = (VectorFunctionSpace if vector else FunctionSpace)(
+        mesh, "Lagrange", 2)
+    u, v = TrialFunction(V), TestFunction(V)
+    M = assemble(inner(u, v) * dx)
+    bounds = (0.25, 1.5625)
+    mask = DirichletBC(V, (0.0, 0.0) if vector else 0.0,
+                       "on_boundary").mask
+    solver = mass_solver(M, mask, False, bounds)
+    from control_tpu.ops.stencil import StencilOp
+    assert isinstance(solver.op, StencilOp)
+    X = SpatialCoordinate(mesh)
+    f = Function(V).interpolate(
+        (sin(2 * pi * X[0]) * X[1],) * 2 if vector
+        else sin(2 * pi * X[0]) * X[1]).data
+    b = jnp.broadcast_to(f, batch + f.shape) * jnp.arange(
+        1.0, 1.0 + np.prod(batch or (1,))).reshape(
+        (batch or (1,)) + (1,) * f.ndim).reshape(
+        batch + (1,) * f.ndim)
+    x = solver(b)
+    x_ref = chebyshev(solver.op.apply, b, bounds, 20,
+                      M=lambda r: r / solver.diag)
+    assert x.shape == b.shape
+    err = (float(jnp.max(jnp.abs(x - x_ref)))
+           / float(jnp.max(jnp.abs(x_ref))))  # dinv-mult vs diag-divide ulps
+    assert err < 1e-12, err
+
+
 @pytest.mark.parametrize("quad,degree", [(True, 1), (True, 2),
                                          (False, 1), (False, 2)])
 def test_multigrid_poisson(quad, degree):

@@ -118,3 +118,42 @@ def test_stationary_control_3d_exact_solution():
                      create_output=False, plots=False)
     assert _l2(space, mcs._v, v_ref) < 1.0e-11
     assert _l2(space, mcs._zeta, zeta_ref) < 1.0e-11
+
+
+def test_node_stencil_3d_matches_local_op():
+    """The (2d+1)^3 node-stencil fold equals the gather/scatter LocalOp
+    application for 3-D scalar spaces (Q1 and masked Q2, batched), and
+    BlockSolver's fused Chebyshev path matches the reference recurrence."""
+    from control_tpu.ops.stencil import StencilOp, node_stencil, \
+        apply_stencil
+    from control_tpu.models.common import mass_solver
+    from control_tpu.solvers.krylov import chebyshev
+    rng = np.random.default_rng(0)
+    mesh = UnitCubeMesh(3, 4, 5)
+    V = FunctionSpace(mesh, "Lagrange", 1)
+    u, v = TrialFunction(V), TestFunction(V)
+    K = assemble(inner(grad(u), grad(v)) * dx + inner(u, v) * dx)
+    x = jnp.asarray(rng.standard_normal(V.grid_shape))
+    w = node_stencil(K.A, V)
+    assert float(jnp.max(jnp.abs(apply_stencil(w, x, 1, nd=3)
+                                 - K.apply(x)))) < 1e-13
+
+    V2 = FunctionSpace(mesh, "Lagrange", 2)
+    u2, v2 = TrialFunction(V2), TestFunction(V2)
+    bc = DirichletBC(V2, 0.0, "on_boundary")
+    K2 = assemble(inner(grad(u2), grad(v2)) * dx, bcs=bc)
+    s = StencilOp.from_local(K2)
+    xb = jnp.asarray(rng.standard_normal((4,) + V2.grid_shape))
+    assert float(jnp.max(jnp.abs(s.apply(xb) - K2.apply(xb)))) < 1e-12
+    assert float(jnp.max(jnp.abs(s.diag() - K2.diag()))) == 0.0
+
+    M = assemble(inner(u2, v2) * dx)
+    bounds = (0.25, 2.25)
+    solver = mass_solver(M, bc.mask, False, bounds)
+    assert isinstance(solver.op, StencilOp)
+    got = solver(xb)
+    ref = chebyshev(solver.op.apply, xb, bounds, 20,
+                    M=lambda r: r / solver.diag)
+    rel = (float(jnp.max(jnp.abs(got - ref)))
+           / float(jnp.max(jnp.abs(ref))))
+    assert rel < 1e-12, rel
