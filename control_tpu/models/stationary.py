@@ -616,6 +616,12 @@ class Stationary:
                                  "absolute_tolerance": 0.0,
                                  "monitor_convergence": print_error}
 
+        # mixed-precision iterative refinement (see linear_solve /
+        # common.run_iterative_refinement)
+        from .common import pop_refinement_params
+        solver_parameters, outer_sp, ir_steps = pop_refinement_params(
+            solver_parameters)
+
         # pressure-space analogue of construct_D_v (reference
         # control/control.py:979-984): Picard assembles the form on
         # pressure trial/test; Gauss-Newton linearises its trial slot with
@@ -730,6 +736,37 @@ class Stationary:
 
         M_zeta_op_A = assemble(self._M_zeta).A
 
+        def build64():
+            # f64 operator + corrected rhs + nullspace projection for the
+            # refinement residuals (see common.run_iterative_refinement)
+            def cast(A):
+                return jnp.asarray(np.asarray(A)).astype(jnp.float64)
+
+            from ..solvers.block import _apply_per_block
+            Dv64 = LocalOp(cast(D_v.A), space_v, space_v)
+            B64 = LocalOp(cast(B.A), B.trial_space, B.test_space)
+            BT64 = LocalOp(cast(B_T.A), B_T.trial_space, B_T.test_space)
+            system = MultiBlockSystem(
+                space_v, space_p,
+                block_00={(0, 0): LocalOp(cast(M_v.A), space_v, space_v),
+                          (0, 1): Dv64.T, (1, 0): Dv64,
+                          (1, 1): -(1.0 / beta) * LocalOp(
+                              cast(M_zeta_op_A), space_v, space_v)},
+                block_01={(0, 0): BT64, (1, 1): BT64},
+                block_10={(0, 0): B64, (1, 1): B64},
+                block_11={},
+                n_blocks_00=2, n_blocks_11=2,
+                nullspace_0=(nullspace_v, nullspace_zeta),
+                nullspace_1=(nullspace_p, nullspace_p))
+            bc0 = _apply_per_block(system.ns0, "correct_rhs", cast(b_0))
+            bc1 = _apply_per_block(system.ns1, "correct_rhs", cast(b_1))
+
+            def proj(a0, a1):
+                return (_apply_per_block(system.ns0, "correct_rhs", a0),
+                        _apply_per_block(system.ns1, "correct_rhs", a1))
+
+            return system.mult, bc0, bc1, proj
+
         # see instationary.incompressible_linear_solve: on accelerators
         # the outer FGMRES runs on the host with separately-jitted
         # operator/pc programs (fused incompressible programs can exceed
@@ -791,6 +828,17 @@ class Stationary:
                     solver_parameters=solver_parameters,
                     pc_fn=pc_fn_s, jit_store=store, op_state=state,
                     mult_fn=mult_fn)
+
+                def solve_fn(r0, r1):
+                    d0f = MixedFunction(space_v, 2)
+                    d1f = MixedFunction(space_p, 2)
+                    info_k = system0.solve_host(
+                        d0f, d1f, r0, r1,
+                        solver_parameters=solver_parameters,
+                        pc_fn=pc_fn_s, jit_store=store, op_state=state,
+                        mult_fn=mult_fn)
+                    return d0f.data, d1f.data, \
+                        {"iterations": info_k.iterations}
             else:
                 htok = (key, array_token(D_v.A))
                 ent = self._host_cache.get(htok)
@@ -804,6 +852,16 @@ class Stationary:
                     u_0_sol, u_1_sol, b_0, b_1,
                     solver_parameters=solver_parameters,
                     pc_fn=pc_fn, jit_store=store)
+
+                def solve_fn(r0, r1):
+                    d0f = MixedFunction(space_v, 2)
+                    d1f = MixedFunction(space_p, 2)
+                    info_k = system.solve_host(
+                        d0f, d1f, r0, r1,
+                        solver_parameters=solver_parameters,
+                        pc_fn=pc_fn, jit_store=store)
+                    return d0f.data, d1f.data, \
+                        {"iterations": info_k.iterations}
             u0, u1 = u_0_sol.data, u_1_sol.data
         else:
             def builder():
@@ -856,6 +914,20 @@ class Stationary:
                 u0, u1, info_d = run_kernel(kernel, D_v.A, b_0, b_1,
                                             z_0, z_1)
             info = finalize_solve_info(info_d, solver_parameters)
+
+            def solve_fn(r0, r1):
+                if P is None:
+                    return run_kernel(kernel, D_v.A, D_p.A, pc_state,
+                                      r0, r1, z_0, z_1)
+                return run_kernel(kernel, D_v.A, r0, r1, z_0, z_1)
+        if ir_steps:
+            from .common import run_iterative_refinement
+            dtype = space_v.mesh.dtype
+            x0, x1, info = run_iterative_refinement(
+                build64, solve_fn, u0, u1, info.iterations, ir_steps,
+                outer_sp, dtype)
+            u0 = jnp.asarray(x0.astype(dtype))
+            u1 = jnp.asarray(x1.astype(dtype))
         self.last_solve_info = info
 
         v = Function(space_v, name="v")
@@ -882,6 +954,7 @@ class Stationary:
                             true_v=self._true_v)
         if print_error:
             self.print_error()
+        return info
 
     def incompressible_non_linear_solve(self, nullspace_p, *, space_p=None,
                                         P=None, solver_parameters=None,

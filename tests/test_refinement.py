@@ -164,6 +164,46 @@ def test_refinement_incompressible_stokes():
     assert info.rnorm <= 1.01e-10 * info.rhs_norm
 
 
+def test_refinement_stationary_incompressible():
+    """Stationary Stokes (Taylor-Hood) refinement: f32 solve to a 1e-10
+    TRUE (f64) relative residual on the 4-block KKT system."""
+    mesh = UnitSquareMesh(4, 4, quadrilateral=True, dtype=jnp.float32)
+    space_v = VectorFunctionSpace(mesh, "Lagrange", 2)
+    space_p = FunctionSpace(mesh, "Lagrange", 1)
+    X = SpatialCoordinate(mesh)
+
+    def forw_diff_operator(trial, test, u):
+        return inner(grad(trial), grad(test)) * dx
+
+    def desired_state(test):
+        v_d = Function(space_v).interpolate(
+            (sin(pi * X[0]) * sin(2.0 * pi * X[1]),
+             sin(2.0 * pi * X[0]) * sin(pi * X[1])))
+        return inner(v_d, test) * dx, v_d
+
+    def force_f(test):
+        return inner(Function(space_v), test) * dx
+
+    ctl = Control.Stationary(
+        space_v, forw_diff_operator, desired_state=desired_state,
+        force_f=force_f, beta=1e-2, space_p=space_p,
+        bcs_v=DirichletBC(space_v, (0.0, 0.0), "on_boundary"))
+    info = ctl.incompressible_linear_solve(
+        ConstantNullspace(),
+        lambda_v_bounds=(0.25, 1.5625), lambda_p_bounds=(0.25, 2.25),
+        solver_parameters={"linear_solver": "fgmres",
+                           "fgmres_restart": 10,
+                           "maximum_iterations": 50,
+                           "relative_tolerance": 1e-10,
+                           "absolute_tolerance": 0.0,
+                           "monitor_convergence": False,
+                           "iterative_refinement": 8},
+        print_error=False, create_output=False, plots=False)
+    assert info.converged
+    assert info.refinement_steps >= 1
+    assert info.rnorm <= 1.01e-10 * info.rhs_norm
+
+
 def test_refinement_noop_in_f64():
     """On an f64 problem the first solve already meets the target: zero
     correction steps, same executable, no behavior change."""
