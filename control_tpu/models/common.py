@@ -137,6 +137,10 @@ def to_device(tree):
 # this to separate device solve time from tunnel transfer overhead.
 LAST_TIMING = {}
 
+# (fn, args) of the last run_kernel dispatch -- consumed by utils.aot to
+# export the solve program as a serialized StableHLO serving artifact
+LAST_RUN = None
+
 
 def device_zeros_like(x):
     """Zero initial guesses allocated directly ON the accelerator: they are
@@ -152,6 +156,8 @@ def run_kernel(fn, *args):
     outputs brought back to the host, so surrounding eager setup stays on
     the host device (see host_setup)."""
     import time
+    global LAST_RUN
+    LAST_RUN = (fn, args)
     on_accel = jax.default_backend() != "cpu"
     LAST_TIMING.clear()
     if on_accel:
