@@ -221,6 +221,13 @@ def _pallas_enabled():
     return os.environ.get("CONTROL_TPU_NO_PALLAS", "0") != "1"
 
 
+def _vector_pallas_enabled():
+    # separate kill-switch for the 4-plane vector smoother (first TPU
+    # exercise happens unattended in the runbook; keep it retryable)
+    import os
+    return os.environ.get("CONTROL_TPU_NO_VECTOR_PALLAS", "0") != "1"
+
+
 def _vmem_ok(degree, ny, nx, dtype):
     K = (2 * degree + 1) ** 2
     bytes_needed = (K + 3) * ny * nx * jnp.dtype(dtype).itemsize
@@ -314,17 +321,24 @@ def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
     fallback applies the same rounding so both paths match numerically.
     """
     d = degree
-    if nd != 2 or _is_vector_stencil(w, b):
-        use_pallas = False
-    ny, nx = b.shape[-2:]
     is_complex = jnp.iscomplexobj(b)
+    is_vector = nd == 2 and _is_vector_stencil(w, b)
+    if nd != 2:
+        use_pallas = False
+    if is_vector and (is_complex or w.shape[-1] != 2 or b.ndim > 4
+                      or not _vector_pallas_enabled()):
+        # complex-vector (incompressible ParaDiag frequency blocks),
+        # dim != 2 and extra-batched cases run the XLA fallback
+        use_pallas = False
+    ny, nx = b.shape[-3:-1] if is_vector else b.shape[-2:]
     if use_pallas is None:
         try:
             platform = next(iter(b.devices())).platform
         except Exception:
             platform = jax.default_backend()
         vmem = (_vmem_ok_complex(degree, ny, nx, jnp.real(b).dtype)
-                if is_complex else _vmem_ok(degree, ny, nx, b.dtype))
+                if (is_complex or is_vector)
+                else _vmem_ok(degree, ny, nx, b.dtype))
         use_pallas = (platform == "tpu" and _pallas_enabled() and vmem)
 
     if use_pallas and is_complex:
@@ -332,6 +346,13 @@ def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
                                    degree, want_residual=want_residual,
                                    interpret=interpret,
                                    weight_dtype=weight_dtype)
+    if use_pallas and is_vector:
+        return _fused_cheb_vector(w, dinv, b, x0, steps, theta, delta,
+                                  degree, want_residual=want_residual,
+                                  interpret=interpret,
+                                  weight_dtype=weight_dtype)
+    if is_vector:
+        use_pallas = False
 
     sigma1 = theta / delta
 
@@ -586,6 +607,133 @@ def _fused_cheb_complex(w, dinv, b, x0, steps, theta, delta, degree,
       jnp.real(x_b), jnp.imag(x_b))
     x_out = outs[0] + 1j * outs[1]
     r_out = outs[2] + 1j * outs[3]
+    if not batched:
+        x_out, r_out = x_out[0], r_out[0]
+    return (x_out, r_out) if want_residual else x_out
+
+
+def _fused_cheb_vector(w, dinv, b, x0, steps, theta, delta, degree,
+                       want_residual=False, interpret=False,
+                       weight_dtype=None):
+    """Fused Chebyshev-Jacobi smoother for 2-D vector (dim=2) spaces: the
+    dim x dim coupling blocks stream through VMEM once as FOUR weight
+    planes per offset (w00, w01, w10, w11) and all ``steps`` iterations
+    run with explicit component arithmetic.  Same kernel structure as the
+    complex smoother -- complex multiplication is the special coupling
+    [[wr, -wi], [wi, wr]] -- so the velocity (Stokes/NSE) V-cycles and
+    mass solves get the same VMEM-resident-weights treatment as the
+    scalar/ParaDiag ones.
+
+    w: (K, ny, nx, 2, 2) or (n, K, ny, nx, 2, 2); dinv/b/x0:
+    (..., ny, nx, 2); theta/delta: scalars or per-batch (n,) vectors.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = degree
+    offs = stencil_offsets(d)
+    K = len(offs)
+    ny, nx = b.shape[-3:-1]
+    batched = b.ndim == 4
+    b_b = b if batched else b[None]
+    x_b = x0 if batched else x0[None]
+    dinv_b = dinv if batched else dinv[None]
+    w_b = w if w.ndim == 6 else w[None]
+    n = b_b.shape[0]
+    w_per_batch = w_b.shape[0] == n and n > 1
+    if not w_per_batch and w_b.shape[0] != 1:
+        raise ValueError("stencil batch mismatch")
+    dtype = b.dtype
+    wdt = jnp.dtype(weight_dtype) if weight_dtype is not None else dtype
+    dinv_b = jnp.broadcast_to(dinv_b, b_b.shape)
+    x_b = jnp.broadcast_to(x_b, b_b.shape)
+    th = jnp.broadcast_to(jnp.asarray(theta, dtype).reshape(-1, 1), (n, 1))
+    de = jnp.broadcast_to(jnp.asarray(delta, dtype).reshape(-1, 1), (n, 1))
+
+    def kernel(th_ref, de_ref, w00_ref, w01_ref, w10_ref, w11_ref,
+               d0_ref, d1_ref, b0_ref, b1_ref, x0_ref, x1_ref,
+               ox0_ref, ox1_ref, r0_ref, r1_ref, xp0, xp1):
+        i = pl.program_id(0)
+        theta_ = th_ref[i, 0]
+        delta_ = de_ref[i, 0]
+        sigma1_ = theta_ / delta_
+        xp0[:] = jnp.zeros_like(xp0)
+        xp1[:] = jnp.zeros_like(xp1)
+        xp0[d:d + ny, d:d + nx] = x0_ref[0]
+        xp1[d:d + ny, d:d + nx] = x1_ref[0]
+
+        def stencil():
+            dy, dx_ = offs[0]
+            s0 = xp0[d + dy: d + dy + ny, d + dx_: d + dx_ + nx]
+            s1 = xp1[d + dy: d + dy + ny, d + dx_: d + dx_ + nx]
+            a0 = (w00_ref[0, 0].astype(dtype) * s0
+                  + w01_ref[0, 0].astype(dtype) * s1)
+            a1 = (w10_ref[0, 0].astype(dtype) * s0
+                  + w11_ref[0, 0].astype(dtype) * s1)
+            for k in range(1, K):
+                dy, dx_ = offs[k]
+                s0 = xp0[d + dy: d + dy + ny, d + dx_: d + dx_ + nx]
+                s1 = xp1[d + dy: d + dy + ny, d + dx_: d + dx_ + nx]
+                a0 = a0 + (w00_ref[0, k].astype(dtype) * s0
+                           + w01_ref[0, k].astype(dtype) * s1)
+                a1 = a1 + (w10_ref[0, k].astype(dtype) * s0
+                           + w11_ref[0, k].astype(dtype) * s1)
+            return a0, a1
+
+        def resid():
+            a0, a1 = stencil()
+            return b0_ref[0] - a0, b1_ref[0] - a1
+
+        r0, r1 = resid()
+        p0 = (r0 * d0_ref[0].astype(dtype)) / theta_
+        p1 = (r1 * d1_ref[0].astype(dtype)) / theta_
+        xp0[d:d + ny, d:d + nx] = xp0[d:d + ny, d:d + nx] + p0
+        xp1[d:d + ny, d:d + nx] = xp1[d:d + ny, d:d + nx] + p1
+        rho = 1.0 / sigma1_
+        for _ in range(steps - 1):
+            r0, r1 = resid()
+            rho_new = 1.0 / (2.0 * sigma1_ - rho)
+            c = 2.0 * rho_new / delta_
+            p0 = rho_new * rho * p0 + c * (r0 * d0_ref[0].astype(dtype))
+            p1 = rho_new * rho * p1 + c * (r1 * d1_ref[0].astype(dtype))
+            xp0[d:d + ny, d:d + nx] = xp0[d:d + ny, d:d + nx] + p0
+            xp1[d:d + ny, d:d + nx] = xp1[d:d + ny, d:d + nx] + p1
+            rho = rho_new
+        ox0_ref[0] = xp0[d:d + ny, d:d + nx]
+        ox1_ref[0] = xp1[d:d + ny, d:d + nx]
+        r0, r1 = resid()
+        r0_ref[0] = r0
+        r1_ref[0] = r1
+
+    w_index = (lambda i: (i, 0, 0, 0)) if w_per_batch else \
+        (lambda i: (0, 0, 0, 0))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    fld = pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    wsp = pl.BlockSpec((1, K, ny, nx), w_index, memory_space=pltpu.VMEM)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[smem, smem, wsp, wsp, wsp, wsp,
+                  fld, fld, fld, fld, fld, fld],
+        out_specs=(fld, fld, fld, fld),
+        out_shape=tuple(jax.ShapeDtypeStruct((n, ny, nx), dtype)
+                        for _ in range(4)),
+        scratch_shapes=[pltpu.VMEM((ny + 2 * d, nx + 2 * d), dtype),
+                        pltpu.VMEM((ny + 2 * d, nx + 2 * d), dtype)],
+        interpret=interpret,
+        **kwargs,
+    )(th, de,
+      w_b[..., 0, 0].astype(wdt), w_b[..., 0, 1].astype(wdt),
+      w_b[..., 1, 0].astype(wdt), w_b[..., 1, 1].astype(wdt),
+      dinv_b[..., 0].astype(wdt), dinv_b[..., 1].astype(wdt),
+      b_b[..., 0], b_b[..., 1], x_b[..., 0], x_b[..., 1])
+    x_out = jnp.stack(outs[:2], axis=-1)
+    r_out = jnp.stack(outs[2:], axis=-1)
     if not batched:
         x_out, r_out = x_out[0], r_out[0]
     return (x_out, r_out) if want_residual else x_out

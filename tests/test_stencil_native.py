@@ -176,3 +176,53 @@ def test_fused_cheb_weight_dtype_bf16():
     relr = float(jnp.max(jnp.abs(full - ref))) / float(
         jnp.max(jnp.abs(full)))
     assert 1e-7 < relr < 0.1, relr
+
+
+def test_fused_cheb_vector_matches_xla():
+    """The 4-plane vector Pallas Chebyshev smoother (velocity V-cycles /
+    mass solves; interpret mode here) matches the XLA fallback on random
+    dim-2 coupling stencils, shared and per-batch weights."""
+    from control_tpu.ops.stencil import fused_cheb_smooth, \
+        _fused_cheb_vector
+    rng = np.random.default_rng(13)
+    n, K, ny, nx = 3, 9, 17, 17
+    for w_shape in ((K, ny, nx, 2, 2), (n, K, ny, nx, 2, 2)):
+        w = jnp.asarray(rng.standard_normal(w_shape), jnp.float32)
+        dinv = jnp.asarray(0.1 * rng.standard_normal((n, ny, nx, 2)),
+                           jnp.float32)
+        b = jnp.asarray(rng.standard_normal((n, ny, nx, 2)), jnp.float32)
+        theta = jnp.asarray(rng.uniform(1.0, 2.0, n), jnp.float32)
+        delta = jnp.asarray(rng.uniform(0.3, 0.8, n), jnp.float32)
+        ref_x, ref_r = fused_cheb_smooth(w, dinv, b, jnp.zeros_like(b), 5,
+                                         theta, delta, 1,
+                                         want_residual=True,
+                                         use_pallas=False)
+        pal_x, pal_r = _fused_cheb_vector(w, dinv, b, jnp.zeros_like(b),
+                                          5, theta, delta, 1,
+                                          want_residual=True,
+                                          interpret=True)
+        scale = float(jnp.max(jnp.abs(ref_x)))
+        assert float(jnp.max(jnp.abs(ref_x - pal_x))) / scale < 1e-5
+        scale_r = float(jnp.max(jnp.abs(ref_r)))
+        assert float(jnp.max(jnp.abs(ref_r - pal_r))) / scale_r < 1e-5
+
+
+def test_fused_cheb_vector_unbatched_and_bf16():
+    """Unbatched vector smoothing + bf16 weight planes agree between the
+    Pallas kernel (interpret) and the rounding-mirrored XLA fallback."""
+    from control_tpu.ops.stencil import fused_cheb_smooth, \
+        _fused_cheb_vector
+    rng = np.random.default_rng(17)
+    K, ny, nx = 25, 13, 13
+    w = jnp.asarray(rng.standard_normal((K, ny, nx, 2, 2)), jnp.float32)
+    dinv = jnp.asarray(0.1 * rng.standard_normal((ny, nx, 2)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((ny, nx, 2)), jnp.float32)
+    for wdt in (None, "bfloat16"):
+        ref_x = fused_cheb_smooth(w, dinv, b, jnp.zeros_like(b), 4,
+                                  1.3, 0.6, 2, use_pallas=False,
+                                  weight_dtype=wdt)
+        pal_x = _fused_cheb_vector(w, dinv, b, jnp.zeros_like(b), 4,
+                                   1.3, 0.6, 2, interpret=True,
+                                   weight_dtype=wdt)
+        scale = float(jnp.max(jnp.abs(ref_x)))
+        assert float(jnp.max(jnp.abs(ref_x - pal_x))) / scale < 1e-5

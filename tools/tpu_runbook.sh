@@ -57,7 +57,12 @@ tune)
 stokes)
     # fused single-program incompressible solve previously kernel-faulted
     # the axon backend; the pc state is now passed as arguments -- retry
-    BENCH_CONFIG=stokes run_step stokes 3600 python bench.py
+    if ! BENCH_CONFIG=stokes run_step stokes 3600 python bench.py; then
+        # first unattended exercise of the vector Pallas smoother: if it
+        # is what broke, retry on the XLA vector fallback
+        CONTROL_TPU_NO_VECTOR_PALLAS=1 BENCH_CONFIG=stokes \
+            run_step stokes_novec 3600 python bench.py
+    fi
     ;;
 heat3d)
     BENCH_CONFIG=heat3d run_step heat3d 3600 python bench.py
