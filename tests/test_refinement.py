@@ -237,3 +237,51 @@ def test_refinement_noop_in_f64():
         print_error=False, create_output=False, plots=False)
     assert info.converged
     assert info.refinement_steps == 0
+
+
+def test_refinement_driver_stall_detection():
+    """Unit test of the driver: a correction solve that returns junk makes
+    the true residual stall; the driver detects the dead contraction,
+    stops early (no wasted accelerator solves), and raises."""
+    from control_tpu.models.common import run_iterative_refinement
+    rng = np.random.default_rng(3)
+    A = jnp.asarray(np.diag(rng.uniform(1.0, 2.0, 8)))
+    b = jnp.asarray(rng.standard_normal((1, 8)))
+
+    def build64():
+        return (lambda x0, x1: (A @ x0[0], A @ x1[0])), b, b
+
+    calls = []
+
+    def bad_solve(r0, r1):
+        calls.append(1)
+        return 1e-3 * r0, 1e-3 * r1, {"iterations": 1}
+
+    with pytest.raises(RuntimeError):
+        run_iterative_refinement(
+            build64, bad_solve, jnp.zeros_like(b), jnp.zeros_like(b),
+            0, 10, {"relative_tolerance": 1e-12,
+                    "monitor_convergence": False}, np.float64)
+    # residual barely moves per step -> stop after the first correction
+    assert len(calls) <= 2, calls
+
+
+def test_refinement_driver_preconditioner_flag_no_raise():
+    """With "preconditioner": True a non-converged refinement returns
+    (fixed-budget inner-solve semantics) instead of raising."""
+    from control_tpu.models.common import run_iterative_refinement
+    rng = np.random.default_rng(5)
+    A = jnp.asarray(np.diag(rng.uniform(1.0, 2.0, 8)))
+    b = jnp.asarray(rng.standard_normal((1, 8)))
+
+    def build64():
+        return (lambda x0, x1: (A @ x0[0], A @ x1[0])), b, b
+
+    def bad_solve(r0, r1):
+        return 0.0 * r0, 0.0 * r1, {"iterations": 1}
+
+    x0, x1, info = run_iterative_refinement(
+        build64, bad_solve, jnp.zeros_like(b), jnp.zeros_like(b),
+        0, 3, {"relative_tolerance": 1e-12, "preconditioner": True,
+               "monitor_convergence": False}, np.float64)
+    assert not info.converged
