@@ -39,8 +39,14 @@ if "--cpu-proxy" in sys.argv or "--cpu-measure" in sys.argv:
     jax.config.update("jax_platforms", "cpu")
 elif os.environ.get("JAX_PLATFORMS"):
     # the axon TPU plugin ignores the env var; mirror it into the config
-    # (lets BENCH_CONFIG=... runs be forced onto the CPU backend)
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # (lets BENCH_CONFIG=... runs be forced onto the CPU backend).  Keep
+    # "cpu" in the list: host_setup() runs eager problem setup on the host
+    # CPU device, and a bare "axon" would deregister the cpu backend
+    # entirely (the session env exports JAX_PLATFORMS=axon).
+    _plats = os.environ["JAX_PLATFORMS"]
+    if "cpu" not in _plats.split(","):
+        _plats += ",cpu"
+    jax.config.update("jax_platforms", _plats)
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # persistent executable cache: first-call compile (minutes at production

@@ -28,7 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # the axon TPU plugin ignores the JAX_PLATFORMS env var; mirror it into
 # jax.config BEFORE backend init so CPU runs don't hang on a down tunnel
 if os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    _plats = os.environ["JAX_PLATFORMS"]
+    if "cpu" not in _plats.split(","):
+        _plats += ",cpu"      # host_setup needs the cpu backend
+    jax.config.update("jax_platforms", _plats)
 jax.config.update("jax_default_matmul_precision", "highest")
 from control_tpu.config import enable_compilation_cache  # noqa: E402
 enable_compilation_cache()
