@@ -337,15 +337,6 @@ class BlockSolver:
             self.params = (self.config.build(inner.A) if state is None
                            else state)
             self.state = self.params
-        elif op.trial_space.ndim != 2 and op.trial_space.dim is not None:
-            # 3-D vector spaces have no node-stencil fold; apply the LocalOp
-            if state is None:
-                d = self.op.diag()
-                self.diag = jnp.where(d == 0, 1.0, d)
-                self.state = {"diag": self.diag}
-            else:
-                self.diag = state["diag"]
-                self.state = state
         else:
             from ..ops.stencil import StencilOp
             if state is None:

@@ -89,11 +89,8 @@ def _stack_apply(space_trial, space_test, A, x):
 def _fast_stack_applier(space, A):
     """Batched stacked-operator application via the node-stencil fast path
     (one fused kernel per apply on TPU for 2-D scalar spaces; fused
-    shift/multiply-adds with dim x dim coupling blocks for 2-D vector
-    spaces and (2d+1)^3 stencils for 3-D scalars).  3-D vector spaces use
-    the gather/scatter path (no vector stencil fold)."""
-    if space.ndim != 2 and space.dim is not None:
-        return lambda x: _stack_apply(space, space, A, x)
+    shift/multiply-adds with dim x dim coupling blocks for vector spaces
+    and (2d+1)**3 stencils in 3-D)."""
     from ..ops.stencil import node_stencil, apply_stencil
     w = node_stencil(A, space)
     d, nd = space.degree, space.ndim
@@ -115,7 +112,7 @@ class _SweepSolver:
         self.space, self.mask, self.cycles = space, mask, cycles
         self.config = MGConfig(space, mask)
         self.shared = diag_A.shape[0] == 1
-        self.stencil_sub = space.ndim == 2 or space.dim is None
+        self.stencil_sub = True
         if state is not None:
             self.params = state["params"]
             self.sub = state["sub"]
@@ -321,17 +318,12 @@ class _ParaDiagSweep:
             self.params = jax.vmap(self.config.build)(A_k)
             # exact bidiagonal factor stencils for the defect correction
             # (masked rows: identity on the diagonal factor, zero on the
-            # sub-diagonal); 3-D vector spaces keep the local matrices and
-            # apply them on the gather/scatter path (_factor_apply)
-            if space.ndim == 2 or space.dim is None:
-                from ..ops.stencil import node_stencil
-                self._wF = node_stencil(diag_A[0], space, mask=mask)
-                self._wS = node_stencil(
-                    jnp.broadcast_to(sub_A[0], diag_A.shape[1:]), space,
-                    mask=mask, alpha=0.0)
-            else:
-                self._wF = diag_A[0]
-                self._wS = jnp.broadcast_to(sub_A[0], diag_A.shape[1:])
+            # sub-diagonal)
+            from ..ops.stencil import node_stencil
+            self._wF = node_stencil(diag_A[0], space, mask=mask)
+            self._wS = node_stencil(
+                jnp.broadcast_to(sub_A[0], diag_A.shape[1:]), space,
+                mask=mask, alpha=0.0)
         else:
             self.params = decode_complex(state["params"])
             self._wF = state["wF"]
@@ -374,15 +366,6 @@ class _ParaDiagSweep:
 
     def _factor_apply(self, u):
         """Exact y_i = F u_i + S u_{i-1} (bc rows: identity)."""
-        if self.space.ndim != 2 and self.space.dim is not None:
-            from ..ops.local_op import LocalOp, MaskedOp
-            F = LocalOp(self._wF, self.space, self.space)
-            S = LocalOp(self._wS, self.space, self.space)
-            if self.mask is not None:
-                F = MaskedOp(F, self.mask, alpha=1.0)
-                S = MaskedOp(S, self.mask, alpha=0.0)
-            y = F.apply(u)
-            return y.at[1:].add(S.apply(u[:-1]))
         from ..ops.stencil import apply_stencil
         d, nd = self.space.degree, self.space.ndim
         y = apply_stencil(self._wF, u, d, nd=nd)

@@ -31,7 +31,7 @@ def stencil_offsets(degree, nd=2):
 def node_stencil(A, space, mask=None, alpha=1.0):
     """Fold local matrices ``A`` (*batch, E|1, b, a) into node-stencil
     weights: (*batch, K, *grid) on scalar spaces (2-D and 3-D; K =
-    (2d+1)**ndim), or (*batch, K, ny, nx, dim, dim) on 2-D vector spaces
+    (2d+1)**ndim), or (*batch, K, *nodes, dim, dim) on vector spaces
     (a dim x dim component-coupling block per offset per node; dof layout
     is node-major/component-minor, see local_op._global_indices).
 
@@ -41,8 +41,6 @@ def node_stencil(A, space, mask=None, alpha=1.0):
     """
     d = space.degree
     if space.dim is not None:
-        if space.ndim != 2:
-            raise NotImplementedError("vector node stencils are 2-D only")
         return _node_stencil_vector(A, space, mask, alpha)
     m = space.mesh
     nd = space.ndim
@@ -88,51 +86,55 @@ def node_stencil(A, space, mask=None, alpha=1.0):
 
 
 def _node_stencil_vector(A, space, mask=None, alpha=1.0):
+    """Dimension-generic vector fold: weights (*batch, K, *nodes, dim, dim)
+    with K = (2d+1)**ndim -- same shifted-window construction as the
+    scalar path, with a dim x dim component-coupling block per offset."""
     d = space.degree
     dim = space.dim
     m = space.mesh
-    K = (2 * d + 1) ** 2
+    nd = space.ndim
+    K = (2 * d + 1) ** nd
     batch = A.shape[:-3]
     dtype = A.dtype
     nl = d + 1
-    nloc = nl * nl
+    nloc = nl ** nd
+    cells = (m.nz, m.ny, m.nx) if nd == 3 else (m.ny, m.nx)
+    nodes = space.grid_shape[:-1]                # node grid, no dim axis
     Af = jnp.broadcast_to(A, batch + (m.n_cells,) + A.shape[-2:])
-    # (..., ny_c, nx_c, node_b, dim_b, node_a, dim_a)
-    Af = Af.reshape(batch + (m.ny, m.nx, nloc, dim, nloc, dim))
+    # (..., *cells, node_b, dim_b, node_a, dim_a)
+    Af = Af.reshape(batch + cells + (nloc, dim, nloc, dim))
 
-    w = jnp.zeros(batch + (K, space.nodes_y, space.nodes_x, dim, dim),
-                  dtype)
-    for b in range(nloc):
-        by, bx = divmod(b, nl)
-        sy = slice(by, by + d * (m.ny - 1) + 1, d)
-        sx = slice(bx, bx + d * (m.nx - 1) + 1, d)
-        for a in range(nloc):
-            ay, ax = divmod(a, nl)
-            k = (d + ay - by) * (2 * d + 1) + (d + ax - bx)
-            w = w.at[..., k, sy, sx, :, :].add(Af[..., b, :, a, :])
+    w = jnp.zeros(batch + (K,) + nodes + (dim, dim), dtype)
+    offs = stencil_offsets(d, nd)
+    kidx = {off: k for k, off in enumerate(offs)}
+    full = (slice(None),) * nd
+    dd = (slice(None), slice(None))
+    for b, bt in enumerate(itertools.product(range(nl), repeat=nd)):
+        sb = tuple(slice(bi, bi + d * (nc - 1) + 1, d)
+                   for bi, nc in zip(bt, cells))
+        for a, at in enumerate(itertools.product(range(nl), repeat=nd)):
+            k = kidx[tuple(ai - bi for ai, bi in zip(at, bt))]
+            w = w.at[(Ellipsis, k) + sb + dd].add(Af[..., b, :, a, :])
     if mask is not None:
-        mk = jnp.asarray(mask)                   # (ny, nx, dim)
+        mk = jnp.asarray(mask)                   # (*nodes, dim)
         # zero masked rows (per node/component)
-        w = jnp.where(mk[None, :, :, :, None], 0.0, w)
-        # zero masked columns
-        ny, nx = space.nodes_y, space.nodes_x
-        for k, (dy, dx) in enumerate(stencil_offsets(d)):
+        w = jnp.where(mk[(None,) + full + (slice(None), None)], 0.0, w)
+        # zero masked columns: weight k at node p reads x[p + off_k]
+        for k, off in enumerate(offs):
             src = jnp.zeros_like(mk)
-            ys = slice(max(0, -dy), ny - max(0, dy))
-            yd = slice(max(0, dy), ny - max(0, -dy))
-            xs = slice(max(0, -dx), nx - max(0, dx))
-            xd = slice(max(0, dx), nx - max(0, -dx))
-            src = src.at[ys, xs, :].set(mk[yd, xd, :])
-            w = w.at[..., k, :, :, :, :].set(
-                jnp.where(src[:, :, None, :], 0.0,
-                          w[..., k, :, :, :, :]))
+            ss = tuple(slice(max(0, -o), g - max(0, o))
+                       for o, g in zip(off, nodes))
+            sd = tuple(slice(max(0, o), g - max(0, -o))
+                       for o, g in zip(off, nodes))
+            src = src.at[ss].set(mk[sd])
+            idx = (Ellipsis, k) + full + dd
+            w = w.at[idx].set(jnp.where(src[..., None, :], 0.0, w[idx]))
         # alpha * identity on masked rows
         kc = K // 2
         eye = jnp.eye(dim, dtype=dtype)
-        w = w.at[..., kc, :, :, :, :].set(
-            jnp.where(mk[:, :, :, None],
-                      alpha * eye[None, None],
-                      w[..., kc, :, :, :, :]))
+        idxc = (Ellipsis, kc) + full + dd
+        w = w.at[idxc].set(jnp.where(mk[..., None],
+                                     alpha * eye[(None,) * nd], w[idxc]))
     return w
 
 
@@ -140,27 +142,30 @@ def _node_stencil_vector(A, space, mask=None, alpha=1.0):
 # application
 # ---------------------------------------------------------------------------
 
-def _is_vector_stencil(w, x):
+def _is_vector_stencil(w, nd=2):
     """Vector stencils carry a trailing (dim, dim) coupling block: their
-    weights are (*batch, K, ny, nx, dim, dim), at least 5-D (scalar
-    weights are at most (batch, K, ny, nx))."""
-    return w.ndim >= 5
+    weights are (*batch, K, *nodes, dim, dim), at least (nd+3)-D (scalar
+    weights are at most (batch, K, *grid) = (nd+2)-D; callers collapse
+    extra lead batch axes before applying)."""
+    return w.ndim >= nd + 3
 
 
 def _apply_xla(w, x, degree, nd=2):
-    """Shifted multiply-add path (portable; scalar path is
-    dimension-generic)."""
+    """Shifted multiply-add path (portable; dimension-generic)."""
     d = degree
-    if nd == 2 and _is_vector_stencil(w, x):
-        # x: (..., ny, nx, dim); w: (..., K, ny, nx, dim, dim)
-        ny, nx = x.shape[-3:-1]
-        pad = [(0, 0)] * (x.ndim - 3) + [(d, d), (d, d), (0, 0)]
+    if _is_vector_stencil(w, nd):
+        # x: (..., *nodes, dim); w: (..., K, *nodes, dim, dim)
+        nodes = x.shape[-(nd + 1):-1]
+        pad = ([(0, 0)] * (x.ndim - nd - 1) + [(d, d)] * nd + [(0, 0)])
         xp = jnp.pad(x, pad)
         out = None
-        for k, (dy, dx) in enumerate(stencil_offsets(d)):
-            sl = xp[..., d + dy: d + dy + ny, d + dx: d + dx + nx, :]
-            term = jnp.einsum("...rc,...c->...r", w[..., k, :, :, :, :],
-                              sl)
+        for k, off in enumerate(stencil_offsets(d, nd)):
+            sl = xp[(Ellipsis,)
+                    + tuple(slice(d + o, d + o + g)
+                            for o, g in zip(off, nodes))
+                    + (slice(None),)]
+            wk = jnp.take(w, k, axis=w.ndim - (nd + 3))
+            term = jnp.einsum("...rc,...c->...r", wk, sl)
             out = term if out is None else out + term
         return out
     grid = x.shape[-nd:]
@@ -262,10 +267,8 @@ def apply_stencil(w, x, degree, use_pallas=None, nd=2):
     kernel is 2-D scalar only; 3-D and vector run shifted multiply-adds).
     """
     d = degree
-    if nd != 2:
+    if nd != 2 or _is_vector_stencil(w, nd):
         return _apply_xla(w, x, degree, nd=nd)
-    if _is_vector_stencil(w, x):
-        return _apply_xla(w, x, degree)
     if use_pallas is None:
         try:
             platform = next(iter(x.devices())).platform  # concrete array
@@ -322,13 +325,13 @@ def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
     """
     d = degree
     is_complex = jnp.iscomplexobj(b)
-    is_vector = nd == 2 and _is_vector_stencil(w, b)
+    is_vector = _is_vector_stencil(w, nd)
     if nd != 2:
         use_pallas = False
-    if is_vector and (is_complex or w.shape[-1] != 2 or b.ndim > 4
-                      or not _vector_pallas_enabled()):
+    if is_vector and (nd != 2 or is_complex or w.shape[-1] != 2
+                      or b.ndim > 4 or not _vector_pallas_enabled()):
         # complex-vector (incompressible ParaDiag frequency blocks),
-        # dim != 2 and extra-batched cases run the XLA fallback
+        # 3-D, dim != 2 and extra-batched cases run the XLA fallback
         use_pallas = False
     ny, nx = b.shape[-3:-1] if is_vector else b.shape[-2:]
     if use_pallas is None:
@@ -742,8 +745,8 @@ def _fused_cheb_vector(w, dinv, b, x0, steps, theta, delta, degree,
 def stencil_diag(w, vector, nd=2):
     """Assembled diagonal from stencil weights: (..., *grid[, dim])."""
     if vector:
-        K = w.shape[-5]
-        c = w[..., K // 2, :, :, :, :]
+        K = w.shape[-(nd + 3)]
+        c = jnp.take(w, K // 2, axis=w.ndim - (nd + 3))
         return jnp.diagonal(c, axis1=-2, axis2=-1)
     K = w.shape[-(nd + 1)]
     return jnp.take(w, K // 2, axis=-(nd + 1))
@@ -752,7 +755,7 @@ def stencil_diag(w, vector, nd=2):
 def stencil_abs_rowsum(w, vector, nd=2):
     """Row sums of |weights| (Gershgorin): (..., *grid[, dim])."""
     if vector:
-        return jnp.sum(jnp.abs(w), axis=(-5, -1))
+        return jnp.sum(jnp.abs(w), axis=(-(nd + 3), -1))
     return jnp.sum(jnp.abs(w), axis=-(nd + 1))
 
 

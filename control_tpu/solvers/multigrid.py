@@ -346,10 +346,10 @@ class MGConfig:
 
     @property
     def use_stencil(self):
-        # node-stencil fast path: any 2-D space, or 3-D scalar ((2d+1)^3
-        # stencils); 3-D vector hierarchies run gather/scatter LocalOp
-        sp = self.spaces[0]
-        return sp.ndim == 2 or sp.dim is None
+        # node-stencil fast path everywhere: (2d+1)**ndim stencils for
+        # scalar spaces, dim x dim coupling blocks per offset for vector
+        # spaces (2-D and 3-D)
+        return True
 
     def _appliers(self, params):
         """Per-level apply callables (stencil fast path on scalar spaces)."""

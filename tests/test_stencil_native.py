@@ -226,3 +226,42 @@ def test_fused_cheb_vector_unbatched_and_bf16():
                                    weight_dtype=wdt)
         scale = float(jnp.max(jnp.abs(ref_x)))
         assert float(jnp.max(jnp.abs(ref_x - pal_x))) / scale < 1e-5
+
+
+@pytest.mark.parametrize("degree", [1, 2])
+def test_stencil_equals_local_op_vector3d(degree):
+    """3-D vector node stencils ((2d+1)^3 offsets with 3x3 coupling
+    blocks) match the gather/scatter LocalOp, masked and unmasked,
+    including diag/abs_rowsum (reference velocity blocks:
+    control/control.py:3592-3655 assemble PETSc matrices; here the fold
+    replaces CSR matvec on TPU)."""
+    from control_tpu import UnitCubeMesh, VectorFunctionSpace, div, \
+        as_vector
+    mesh = UnitCubeMesh(2, 3, 2)
+    V = VectorFunctionSpace(mesh, "Lagrange", degree, dim=3)
+    X = SpatialCoordinate(mesh)
+    u, v = TrialFunction(V), TestFunction(V)
+    w_fun = Function(V).interpolate(
+        as_vector([X[0] + 0.3 * X[1], X[2] - X[0], 0.5 * X[1]]))
+    # grad-grad + mass + a div-div term so the dim x dim coupling blocks
+    # are genuinely non-diagonal
+    A = assemble(inner(grad(u), grad(v)) * dx + inner(u, v) * dx
+                 + Constant(0.7) * div(u) * div(v) * dx)
+    bc = DirichletBC(V, 0.0, "on_boundary")
+    Am = MaskedOp(A, bc.mask)
+    S = StencilOp.from_local(Am)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(*V.grid_shape))
+    assert float(jnp.abs(S.apply(x) - Am.apply(x)).max()) < 1e-12
+    assert float(jnp.abs(S.diag() - Am.diag()).max()) < 1e-13
+    assert float(jnp.abs(S.abs_rowsum()).max()) > 0.0
+    # unmasked + batched x, shared weights
+    S2 = StencilOp.from_local(A)
+    xb = jnp.asarray(rng.randn(4, *V.grid_shape))
+    assert float(jnp.abs(S2.apply(xb) - A.apply(xb)).max()) < 1e-12
+    # fused_cheb_smooth XLA fallback runs the 3-D vector stencil
+    d = S.diag()
+    d = jnp.where(d == 0, 1.0, d)
+    xs = fused_cheb_smooth(S.w, 1.0 / d, x, jnp.zeros_like(x), 4,
+                           2.0, 0.9, degree, use_pallas=False, nd=3)
+    assert np.all(np.isfinite(np.asarray(xs)))
