@@ -43,9 +43,118 @@ def enable_compilation_cache(path=None):
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _install_safe_cache_put()
     except Exception:
         return None
     return path
+
+
+# Serializing an executable whose proto exceeds protobuf's 2 GB hard limit
+# ABORTS the process (SIGABRT in the C++ CHECK) -- it is not a catchable
+# Python error.  Observed on the fused 3-D incompressible program (CPU
+# backend) and on the remote TPU serializer ("Failed to serialize
+# TpuExecutableProto ... 8060894426 bytes").  Guard every cache write with
+# a generated-code-size predictor and demote any remaining serialization
+# error to "don't cache".
+_CACHE_PUT_PATCHED = False
+CACHE_SKIPPED_OVERSIZE = []      # module names skipped (observable in tests)
+
+
+def cache_max_bytes():
+    """Max predicted executable size eligible for the persistent cache."""
+    return int(os.environ.get("CONTROL_TPU_CACHE_MAX_BYTES",
+                              str(1 << 30)))    # 1 GiB, well under 2 GB
+
+
+def _predicted_executable_bytes(executable):
+    """Generated-code size (host + device) as a serialized-proto proxy.
+    Constants are no longer baked into the hot kernels (pc state is passed
+    as arguments), so generated code dominates the proto.  Returns 0 when
+    the client does not implement the stats (the ``jax_platforms=cpu``
+    client reports all-zero stats; ``size_of_generated_code_in_bytes`` is
+    NOT a usable fallback -- on PJRT C-API plugins it is a fatal
+    LogFatalIfPjrtError, i.e. calling it aborts the process)."""
+    try:
+        stats = executable.get_compiled_memory_stats()
+        return int(stats.generated_code_size_in_bytes
+                   + stats.host_generated_code_size_in_bytes)
+    except Exception:
+        return 0
+
+
+def _fork_probe_serialize_ok(executable, max_bytes, timeout=180.0):
+    """Exact oversize check: run ``executable.serialize()`` in a forked
+    child so protobuf's >2 GB CHECK abort (SIGABRT, uncatchable) kills the
+    child, not this process.  True iff the child proves the serialized
+    size is under ``max_bytes``; abort, hang, or any error -> False."""
+    if not hasattr(os, "fork"):
+        return False
+    import select
+    import warnings
+    r, w = os.pipe()
+    with warnings.catch_warnings():
+        # the child only serializes and _exit()s; a deadlock is bounded by
+        # the select() timeout below, so the fork-in-threads warning is
+        # handled, not ignored
+        warnings.simplefilter("ignore", RuntimeWarning)
+        pid = os.fork()
+    if pid == 0:                                     # child
+        try:
+            os.close(r)
+            devnull = os.open(os.devnull, os.O_WRONLY)
+            os.dup2(devnull, 2)                      # hide the abort trace
+            data = executable.serialize()
+            os.write(w, b"1" if len(data) <= max_bytes else b"0")
+            os._exit(0)
+        except BaseException:
+            os._exit(1)
+    os.close(w)
+    ready, _, _ = select.select([r], [], [], timeout)
+    ok = bool(ready) and os.read(r, 1) == b"1"
+    os.close(r)
+    try:
+        if not ready:
+            os.kill(pid, 9)
+        os.waitpid(pid, 0)
+    except OSError:
+        pass
+    return ok
+
+
+def _install_safe_cache_put():
+    global _CACHE_PUT_PATCHED
+    if _CACHE_PUT_PATCHED:
+        return
+    from jax._src import compilation_cache as _cc
+
+    _orig_put = _cc.put_executable_and_time
+
+    def _safe_put(cache_key, module_name, executable, backend,
+                  compile_time):
+        limit = cache_max_bytes()
+        est = _predicted_executable_bytes(executable)
+        if est > limit:
+            CACHE_SKIPPED_OVERSIZE.append((module_name, est))
+            return
+        if est == 0 and getattr(backend, "platform", "") == "cpu":
+            # stats unimplemented on this client, and the CPU serializer
+            # ABORTS (protobuf 2 GB CHECK) instead of raising on oversize
+            # programs -- prove serializability in a forked child first.
+            # Non-CPU (TPU) serializers raise catchable errors; for those
+            # the try/except below is enough.
+            if not _fork_probe_serialize_ok(executable, limit):
+                CACHE_SKIPPED_OVERSIZE.append((module_name, -1))
+                return
+        try:
+            _orig_put(cache_key, module_name, executable, backend,
+                      compile_time)
+        except Exception:        # cache write failure is never fatal
+            pass
+
+    # the only writer (jax/_src/compiler.py) resolves this through the
+    # module attribute at call time, so patching the module covers it
+    _cc.put_executable_and_time = _safe_put
+    _CACHE_PUT_PATCHED = True
 
 
 def set_default_dtype(dtype):
