@@ -55,6 +55,7 @@ def _jacobi_mass_bounds(space):
     return float(lam[0]), float(lam[-1])
 
 
+@pytest.mark.slow
 def test_stationary_control_q3_exact_solution():
     """The Q2 algebraic exact-solution test (reference
     test/test_control.py:26-119) re-run in a Q3 space: manufactured rhs in

@@ -12,6 +12,9 @@ from control_tpu import (
     TestFunction, TrialFunction, SpatialCoordinate, DirichletBC,
     grad, inner, dx, assemble, sin, cos, exp, pi)
 
+# slow tier: 3-D instationary control solves (BE + both sweeps)
+pytestmark = pytest.mark.slow
+
 
 def _mixed_l2(space, a_data, b_data):
     err2 = 0.0

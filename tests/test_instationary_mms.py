@@ -23,6 +23,9 @@ from control_tpu import (
     grad, inner, dot, dx, assemble, sin, cos, exp, pi, Constant,
     as_vector)
 
+# slow tier: MMS order study: multiple resolutions, one fresh compile each
+pytestmark = pytest.mark.slow
+
 T_F = 2.0
 LAM = 0.5 * pi ** 2
 BETA = 1.0

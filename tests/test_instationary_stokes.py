@@ -183,6 +183,7 @@ def test_instationary_stokes_with_exact_sol(CN):
                      mean_shift(mu_ref.data)) < 1e-11
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("CN", [True, False])
 def test_instationary_navier_stokes_picard(CN):
     """Navier-Stokes control (reference test/test_control.py:4171-4268 BE

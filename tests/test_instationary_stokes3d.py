@@ -4,6 +4,7 @@ preconditioner on a unit cube, checking convergence within the reference's
 budget and the discrete divergence constraint of the returned state.
 """
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -11,6 +12,9 @@ from control_tpu import (
     Control, UnitCubeMesh, FunctionSpace, VectorFunctionSpace, Function,
     TestFunction, SpatialCoordinate, DirichletBC, ConstantNullspace,
     grad, div, inner, dx, assemble, sin, cos, pi)
+
+# slow tier: 3-D instationary Taylor-Hood smoke: the largest single compile in the suite
+pytestmark = pytest.mark.slow
 
 
 def test_instationary_stokes_3d_cn_smoke():

@@ -2,6 +2,7 @@
 non_linear_solve, reference test/test_control.py:1027-1240) and
 Gauss-Newton on an instationary problem."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -10,6 +11,9 @@ from control_tpu import (
     TestFunction, TrialFunction, SpatialCoordinate, DirichletBC,
     ConstantNullspace, grad, div, inner, dot, dx, assemble, sin, cos, pi,
     Constant)
+
+# slow tier: Navier-Stokes Picard/Gauss-Newton loops: several fresh nonlinear compiles
+pytestmark = pytest.mark.slow
 
 
 def test_stationary_navier_stokes_nonlinear():

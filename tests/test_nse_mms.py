@@ -21,6 +21,9 @@ from control_tpu import (
     SpatialCoordinate, DirichletBC, ConstantNullspace, grad, inner, dot,
     dx, assemble, Constant)
 
+# slow tier: NSE MMS order study: nonlinear solves at multiple resolutions
+pytestmark = pytest.mark.slow
+
 T_F = 2.0
 BETA = 1e-3
 NU = 1.0 / 50.0

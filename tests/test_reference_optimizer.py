@@ -12,6 +12,7 @@ target the same finite-dimensional optimum; u = zeta / beta recovers the
 control from the all-at-once adjoint.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -24,6 +25,9 @@ from control_tpu import (Control, UnitSquareMesh, FunctionSpace, Function,
 from control_tpu.fem.assemble import assemble
 from control_tpu.fem.space import combine_masks
 from control_tpu.models.common import residual_vector
+
+# slow tier: independent-optimizer cross-checks: many forward solves under jax.grad + L-BFGS-B
+pytestmark = pytest.mark.slow
 
 
 def _setup(degree):

@@ -72,6 +72,7 @@ def test_stationary_linear_control():
     assert _l2(space_0, mcs._zeta, zeta_ref) < 1.0e-13
 
 
+@pytest.mark.slow
 def test_MMS_stationary_linear_Poisson_control():
     """reference test/test_control.py:122-229, with order asserts added."""
     beta = 10.0 ** -3

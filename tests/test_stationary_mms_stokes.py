@@ -11,12 +11,16 @@ coordinates x = X_0 - 1, y = X_1 - 1 on (0,2)^2):
   NSE:     zeta = 0, v_d = v, f = -nu lapl v + (grad v) v.
 """
 
+import pytest
 import numpy as np
 
 from control_tpu import (
     Control, RectangleMesh, FunctionSpace, VectorFunctionSpace, Function,
     SpatialCoordinate, DirichletBC, ConstantNullspace, grad, inner, dot,
     dx, assemble)
+
+# slow tier: stationary (N)SE MMS studies: multiple resolutions
+pytestmark = pytest.mark.slow
 
 BETA = 1e-3
 

@@ -3,6 +3,7 @@ Q2-Q1 Taylor-Hood (capability extension; the 2-D version of this test
 mirrors reference test/test_control.py:232-358).
 """
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -10,6 +11,9 @@ from control_tpu import (
     Control, UnitCubeMesh, FunctionSpace, VectorFunctionSpace, Function,
     TestFunction, SpatialCoordinate, DirichletBC, ConstantNullspace,
     grad, div, inner, dx, assemble, sin, exp, pi)
+
+# slow tier: 3-D stationary Taylor-Hood control solves
+pytestmark = pytest.mark.slow
 
 
 def _l2(space, a, b):

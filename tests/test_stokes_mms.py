@@ -27,6 +27,9 @@ from control_tpu import (
     SpatialCoordinate, DirichletBC, ConstantNullspace, grad, inner, dx,
     assemble, Constant)
 
+# slow tier: Stokes MMS order study: multiple resolutions
+pytestmark = pytest.mark.slow
+
 T_F = 2.0
 BETA = 1e-3
 
