@@ -303,14 +303,17 @@ def main():
             errors.append(f"device attempt: {fail}")
     if res is None:
         # TPU path hung or crashed: measure the same f32 ParaDiag solve on
-        # the CPU backend at reduced N (compile at 256^2 takes ~9 min on
-        # this host) and scale by the dof ratio -- an honest same-host
-        # algorithmic comparison, clearly labeled backend=cpu
-        n_fb = int(os.environ.get("BENCH_FALLBACK_N", "128"))
+        # the CPU backend at the FULL benchmark size (no dof-scaling: the
+        # quadratic-work assumption and the cache behavior both differ
+        # across n, so a scaled n=128 point is not a 256 measurement) --
+        # an honest same-host algorithmic comparison, labeled backend=cpu.
+        # The in-child attempt ladder still steps down to n//2 if the full
+        # size fails; only a timeout loses the measurement entirely.
+        n_fb = int(os.environ.get("BENCH_FALLBACK_N", str(N)))
         notes.append("tpu unavailable; cpu-backend fallback measurement")
         meas, fail = _run_child(
             ["--cpu-measure"],
-            timeout=int(os.environ.get("BENCH_CPU_TIMEOUT", "2700")),
+            timeout=int(os.environ.get("BENCH_CPU_TIMEOUT", "5400")),
             env_extra={"_BENCH_N_OVERRIDE": str(n_fb)})
         if fail:
             errors.append(f"cpu fallback: {fail}")

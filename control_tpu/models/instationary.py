@@ -389,6 +389,80 @@ class _ParaDiagSweep:
         return u[::-1] if reverse else u
 
 
+class _BEParaDiagSweep:
+    """Time-parallel backward-Euler Schur substitution.
+
+    The BE sweep factor (reference control/control.py:2191-2438) is block
+    lower-bidiagonal with row-dependent diagonal shifts
+    [0, c, ..., c, sqrt(eps) c] and a constant sub-diagonal S = -M: it is
+    Toeplitz except in its first and last rows, so a whole-factor
+    alpha-circulant approximation is poor (a uniform-shift Toeplitz proxy
+    was measured to double the outer iterations and diverge at small
+    beta -- the zero first-row shift matters).  The bidiagonal structure
+    lets the edge rows be peeled off exactly instead:
+
+        u_0       = F_0^{-1} b_0
+        u_{1:n-1} = ParaDiag over the interior Toeplitz block with
+                    rhs (b_1 - S u_0, b_2, ..., b_{n-2})
+        u_{n-1}   = F_{n-1}^{-1} (b_{n-1} - S u_{n-2})
+
+    Two extra single-block V-cycle solves (negligible next to the batched
+    interior frequency solve) recover time parallelism for BE at scan
+    accuracy, up to the interior circulant error -- which the interior
+    sweep's defect correction squares.  ``reverse=True`` flips the row
+    order (the backward factor's edge shifts swap ends), so the same
+    instance serves the (L^T + shifts) sweep."""
+
+    def __init__(self, space, mask, diag_A, sub_A, n, alpha=None,
+                 cycles=2, state=None, defect_steps=1, smooth=None,
+                 weight_dtype=None):
+        if diag_A.shape[0] != n or n < 3:
+            raise ValueError("edge-row ParaDiag needs the full "
+                             "row-dependent factor stack with n >= 3 rows")
+        self.space, self.mask, self.n = space, mask, n
+        self.cycles = cycles
+        # edge hierarchies at the scan sweep's quality (default MGConfig,
+        # one V-cycle per application -- _SweepSolver's setting)
+        self.edge_config = MGConfig(space, mask)
+        from ..ops.stencil import node_stencil
+        if state is None:
+            e_first = self.edge_config.build(diag_A[0])
+            e_last = self.edge_config.build(diag_A[n - 1])
+            wS = node_stencil(sub_A, space)
+            mid_state = None
+        else:
+            e_first, e_last = state["e_first"], state["e_last"]
+            wS = state["wS"]
+            mid_state = state["mid"]
+        self.e_first, self.e_last, self._wS = e_first, e_last, wS
+        self.mid = _ParaDiagSweep(space, mask, diag_A[1:2], sub_A, n - 2,
+                                  alpha=alpha, cycles=cycles,
+                                  defect_steps=defect_steps, smooth=smooth,
+                                  weight_dtype=weight_dtype,
+                                  state=mid_state)
+        self.state = {"e_first": e_first, "e_last": e_last, "wS": wS,
+                      "mid": self.mid.state}
+
+    def solve(self, b, reverse=False):
+        from ..ops.stencil import apply_stencil
+        mk = self.mask[None] if self.mask is not None else None
+        if reverse:
+            b = b[::-1]
+        b = zero_rows(mk, b)
+        first = self.e_last if reverse else self.e_first
+        last = self.e_first if reverse else self.e_last
+        d, nd = self.space.degree, self.space.ndim
+        u0 = self.edge_config.apply(first, b[0], cycles=self.cycles)
+        s_u0 = apply_stencil(self._wS[0], u0, d, nd=nd)
+        bm = zero_rows(mk, b[1:-1].at[0].add(-s_u0))
+        um = self.mid.solve(bm)
+        s_ul = apply_stencil(self._wS[0], um[-1], d, nd=nd)
+        bl = zero_rows(self.mask, b[-1] - s_ul)
+        ul = self.edge_config.apply(last, bl, cycles=self.cycles)
+        u = zero_rows(mk, jnp.concatenate([u0[None], um, ul[None]]))
+        return u[::-1] if reverse else u
+
+
 class Instationary:
     """See module docstring; API mirrors the reference
     (control/control.py:1489-1493).  Both ``force_f`` (documented name) and
@@ -868,16 +942,36 @@ class Instationary:
         return lambda solver, b, rev: solver.solve(b, reverse=rev)
 
     def _make_sweeps(self, space, mask, F_diag, F_sub, G_diag, G_sup, c, n,
-                     toeplitz_factors=None, prebuilt=None):
+                     toeplitz_factors=None, prebuilt=None,
+                     edge_rows=False):
         """Build the forward/backward Schur substitution solvers for the
         selected mode (see _sweep_fn); ParaDiag applies when both factors
         are Toeplitz (time-independent operator) -- either directly, or
         via ``toeplitz_factors=(F_toep, G_toep)``, a caller-supplied
         Toeplitz approximation of row-dependent factors (the BE sweeps
         deviate only in their first/last diagonal shifts) -- otherwise it
-        falls back to the exact sequential scan."""
+        falls back to the exact sequential scan.  ``edge_rows=True``
+        asserts the full (n-row) factor stacks are Toeplitz except their
+        first/last rows (the BE shift pattern): those peel off into exact
+        single-block solves around an interior ParaDiag
+        (_BEParaDiagSweep)."""
         mode = getattr(self, "_schur_mode", "scan")
         toeplitz = F_diag.shape[0] == 1 and G_diag.shape[0] == 1
+        if (mode in ("auto", "paradiag") and edge_rows and n >= 3
+                and F_diag.shape[0] == n):
+            kw = dict(alpha=getattr(self, "_paradiag_alpha", None),
+                      defect_steps=getattr(self, "_paradiag_dc", 1),
+                      cycles=getattr(self, "_paradiag_cycles", 2),
+                      smooth=getattr(self, "_mg_smooth", None),
+                      weight_dtype=getattr(self, "_mg_weight_dtype", None))
+            fwd = _BEParaDiagSweep(space, mask, F_diag, F_sub, n,
+                                   state=None if prebuilt is None
+                                   else prebuilt["fwd"], **kw)
+            bwd = _BEParaDiagSweep(space, mask, G_diag, G_sup, n,
+                                   state=None if prebuilt is None
+                                   else prebuilt["bwd"], **kw)
+            return fwd, bwd, (lambda solver, b, rev:
+                              solver.solve(b, reverse=rev))
         if mode in ("auto", "paradiag") and n > 1:
             alpha = getattr(self, "_paradiag_alpha", None)
             if toeplitz:
@@ -1049,13 +1143,16 @@ class Instationary:
             G_diag = (tau * jnp.swapaxes(Dv_A, -1, -2) + M_A
                       + s_b[:, None, None, None] * M_A)
         mM = (-M_A)[None]
-        # NOTE: a uniform-shift Toeplitz approximation of the BE factors
-        # (for ParaDiag) was measured to double the outer iterations and
-        # diverge at small beta -- the zero first-row shift matters; BE
-        # therefore always uses the exact row-dependent scan
+        # A uniform-shift Toeplitz approximation of the BE factors was
+        # measured to double the outer iterations and diverge at small
+        # beta (the zero first-row shift matters); instead, for a
+        # time-independent operator the first/last rows peel off into
+        # exact single-block solves around an interior Toeplitz ParaDiag
+        # (_BEParaDiagSweep).  Row-dependent D or tiny n: exact scan.
         fwd, bwd, sweep = self._make_sweeps(sp, mask, F_diag, mM,
                                             G_diag, mM, c, n,
-                                            prebuilt=prebuilt)
+                                            prebuilt=prebuilt,
+                                            edge_rows=sh and n >= 3)
         ap_diag = _fast_stack_applier(sp, d10_diag)
         ap_sub = _fast_stack_applier(sp, mM)
         ap_M = _fast_stack_applier(sp, M_A[None])

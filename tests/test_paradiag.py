@@ -17,7 +17,8 @@ from control_tpu import (Control, UnitSquareMesh, FunctionSpace, Function,
                          DirichletBC, grad, inner, dx, cos, pi)
 from control_tpu.fem.assemble import assemble
 from control_tpu.fem.space import homogenize, combine_masks
-from control_tpu.models.instationary import _SweepSolver, _ParaDiagSweep
+from control_tpu.models.instationary import (_SweepSolver, _ParaDiagSweep,
+                                             _BEParaDiagSweep)
 
 
 def test_alpha_circulant_exactness():
@@ -132,16 +133,59 @@ def test_paradiag_pc_matches_scan():
     assert rel < 1e-6, rel
 
 
-def test_paradiag_backward_euler_falls_back():
-    """BE sweep factors carry end-modified diagonal shifts (not Toeplitz);
-    'paradiag' must still converge via the scan fallback."""
-    ctl = _heat(n=16, n_t=8)
-    ctl.set_CN(CN=False)
-    ctl.set_n_t(8)
-    ctl.set_schur_sweep("paradiag")
+def test_be_edge_row_sweep_matches_scan():
+    """The BE factor stack (shifts [0, c, ..., c, sqrt(eps) c], constant
+    sub-diagonal -M) is Toeplitz except its edge rows; _BEParaDiagSweep
+    peels those off exactly around an interior ParaDiag, so at small alpha
+    it must match the exact row-dependent scan sweep in BOTH directions."""
+    mesh = UnitSquareMesh(6, 6, quadrilateral=True)
+    space = FunctionSpace(mesh, "Lagrange", 1)
+    u, v = TrialFunction(space), TestFunction(space)
+    bc = DirichletBC(space, 0.0, "on_boundary")
+    mask = combine_masks(space, (bc,))
+    K = assemble(inner(grad(u), grad(v)) * dx).A
+    M = assemble(inner(u, v) * dx).A
+    n, c, eps = 9, 2.5, 1e-3
+    shifts = np.concatenate([[0.0], np.full(n - 2, c), [(eps ** 0.5) * c]])
+    F = jnp.asarray(0.05 * np.asarray(K)[None] + np.asarray(M)[None]
+                    + shifts[:, None, None, None] * np.asarray(M)[None])
+    S = (-M)[None]
+    rng = np.random.default_rng(11)
+    b = jnp.asarray(rng.standard_normal((n,) + space.grid_shape))
+    b = jnp.where(mask[None], 0.0, b)
+
+    scan = _SweepSolver(space, mask, F, S)
+    # 6x6 Q1: 49 dofs < coarse_max_dofs -> single level, exact solves
+    assert len(scan.config.spaces) == 1
+    edged = _BEParaDiagSweep(space, mask, F, S, n, alpha=1e-8)
+    for reverse in (False, True):
+        u_scan = scan.solve(b, reverse=reverse)
+        u_edge = edged.solve(b, reverse=reverse)
+        rel = float(jnp.linalg.norm((u_scan - u_edge).ravel())
+                    / jnp.linalg.norm(u_scan.ravel()))
+        assert rel < 1e-6, (reverse, rel)
+
+
+def test_paradiag_backward_euler_matches_scan():
+    """BE 'paradiag' now runs the edge-row time-parallel sweep; outer
+    iteration counts and the solution must match the exact scan (the
+    round-1..3 scan-only fallback is gone)."""
     sp = {"linear_solver": "gmres", "gmres_restart": 10,
-          "maximum_iterations": 50, "relative_tolerance": 1e-6,
+          "maximum_iterations": 50, "relative_tolerance": 1e-8,
           "absolute_tolerance": 0.0, "monitor_convergence": False}
-    ctl.linear_solve(lambda_v_bounds=(0.25, 2.25), solver_parameters=sp,
-                     print_error=False, create_output=False)
-    assert ctl.last_solve_info.converged
+    results = {}
+    for mode in ("scan", "paradiag"):
+        ctl = _heat(n=16, n_t=8)
+        ctl.set_CN(CN=False)
+        ctl.set_n_t(8)
+        ctl.set_schur_sweep(mode)
+        ctl.linear_solve(lambda_v_bounds=(0.25, 2.25), solver_parameters=sp,
+                         print_error=False, create_output=False)
+        results[mode] = (ctl.last_solve_info.iterations,
+                         np.asarray(ctl._v.data))
+    it_scan, v_scan = results["scan"]
+    it_para, v_para = results["paradiag"]
+    assert it_para <= it_scan + 2, (it_para, it_scan)
+    rel = (np.linalg.norm((v_scan - v_para).ravel())
+           / np.linalg.norm(v_scan.ravel()))
+    assert rel < 1e-6, rel
