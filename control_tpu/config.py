@@ -97,6 +97,7 @@ def _fork_probe_serialize_ok(executable, max_bytes, timeout=180.0):
         # the select() timeout below, so the fork-in-threads warning is
         # handled, not ignored
         warnings.simplefilter("ignore", RuntimeWarning)
+        warnings.simplefilter("ignore", DeprecationWarning)
         pid = os.fork()
     if pid == 0:                                     # child
         try:

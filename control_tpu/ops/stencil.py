@@ -221,6 +221,85 @@ def _pallas_kernel(degree, ny, nx, n_w, dtype):
     return call
 
 
+def _pallas_kernel_3d(degree, nz, ny, nx, dtype):
+    """Single-pass 3-D scalar stencil application, z-plane streamed: the
+    padded source volume sits in VMEM once; each grid step DMAs only the K
+    weight planes of its output z-plane, so VMEM stays O(K) planes at any
+    nz (the whole-volume fused smoother is gated by `_vmem_ok_nd3`
+    instead)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = degree
+    offs = stencil_offsets(d, 3)
+    K = len(offs)
+    pz, py, px = nz + 2 * d, ny + 2 * d, nx + 2 * d
+
+    def kernel(w_ref, xp_ref, y_ref):
+        z = pl.program_id(1)
+        slab = xp_ref[0, pl.ds(z, 2 * d + 1)]
+        acc = None
+        for k, (oz, oy, ox_) in enumerate(offs):
+            t = w_ref[0, k] * slab[d + oz, d + oy: d + oy + ny,
+                                   d + ox_: d + ox_ + nx]
+            acc = t if acc is None else acc + t
+        y_ref[0, 0] = acc
+
+    def call(w_zmaj, xp, batch, w_batched, interpret=False):
+        w_index = (lambda i, z: (i, z, 0, 0)) if w_batched else \
+            (lambda i, z: (0, z, 0, 0))
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_BUDGET)
+        return pl.pallas_call(
+            kernel,
+            grid=(batch, nz),
+            in_specs=[
+                pl.BlockSpec((1, K, ny, nx), w_index,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, pz, py, px), lambda i, z: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, ny, nx),
+                                   lambda i, z: (i, z, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((batch, nz, ny, nx), dtype),
+            interpret=interpret,
+            **kwargs,
+        )(w_zmaj, xp)
+
+    return call
+
+
+def _apply_3d_pallas(w, x, degree, interpret=False):
+    """Scalar 3-D apply via the z-streamed kernel; w (K|n*K layout as
+    (nw, K, nz, ny, nx)), x (..., nz, ny, nx)."""
+    d = degree
+    nz, ny, nx = x.shape[-3:]
+    x_b = x if x.ndim == 4 else x[None]
+    batch = x_b.shape[0]
+    w_b = w if w.ndim == 5 else w[None]
+    w_batched = w_b.shape[0] == batch and batch > 1
+    if not w_batched and w_b.shape[0] != 1:
+        raise ValueError("stencil batch mismatch")
+    xp = jnp.pad(x_b, [(0, 0), (d, d), (d, d), (d, d)])
+    # z-major weight layout so BlockSpec streams one z's K planes per step
+    w_zmaj = jnp.moveaxis(w_b, 2, 1).reshape(
+        w_b.shape[0], nz * w_b.shape[1], ny, nx)
+    call = _pallas_kernel_3d(d, nz, ny, nx, x.dtype)
+    y = call(w_zmaj, xp, batch, w_batched, interpret=interpret)
+    return y if x.ndim == 4 else y[0]
+
+
+def _vmem_ok_3d_apply(degree, nz, ny, nx, dtype):
+    K = (2 * degree + 1) ** 3
+    vol = (nz + 2 * degree) * _padded_plane_bytes(ny + 2 * degree,
+                                                  nx + 2 * degree, dtype)
+    w_blk = 2 * K * _padded_plane_bytes(ny, nx, dtype)   # double-buffered
+    return vol + w_blk < _VMEM_BUDGET // 2
+
+
 def _pallas_enabled():
     import os
     return os.environ.get("CONTROL_TPU_NO_PALLAS", "0") != "1"
@@ -267,6 +346,18 @@ def apply_stencil(w, x, degree, use_pallas=None, nd=2):
     kernel is 2-D scalar only; 3-D and vector run shifted multiply-adds).
     """
     d = degree
+    if nd == 3 and not _is_vector_stencil(w, nd) \
+            and not jnp.iscomplexobj(x) and x.ndim <= 4:
+        if use_pallas is None:
+            try:
+                platform = next(iter(x.devices())).platform
+            except Exception:
+                platform = jax.default_backend()
+            use_pallas = (platform == "tpu" and _pallas_enabled()
+                          and _vmem_ok_3d_apply(d, *x.shape[-3:], x.dtype))
+        if use_pallas:
+            return _apply_3d_pallas(w, x, d)
+        return _apply_xla(w, x, degree, nd=nd)
     if nd != 2 or _is_vector_stencil(w, nd):
         return _apply_xla(w, x, degree, nd=nd)
     if use_pallas is None:
@@ -326,12 +417,38 @@ def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
     d = degree
     is_complex = jnp.iscomplexobj(b)
     is_vector = _is_vector_stencil(w, nd)
-    if nd != 2:
+    if nd == 3:
+        # generic whole-volume fused kernel: scalar, complex (ParaDiag
+        # frequency blocks) and real vector spaces, gated on VMEM
+        # residency of the K*C*C weight volumes -- the finest level of a
+        # large 3-D hierarchy falls back to XLA, every coarser V-cycle
+        # level fuses
+        C3 = 2 if is_complex else (w.shape[-1] if is_vector else 1)
+        if is_complex and is_vector:
+            use_pallas = False               # complex-vector: XLA fallback
+        lead3 = (b.ndim - 4) if is_vector else (b.ndim - 3)
+        if lead3 > 1:
+            use_pallas = False
+        grid3 = b.shape[-4:-1] if is_vector else b.shape[-3:]
+        if use_pallas is None:
+            try:
+                platform = next(iter(b.devices())).platform
+            except Exception:
+                platform = jax.default_backend()
+            use_pallas = (platform == "tpu" and _pallas_enabled()
+                          and (not is_vector or _vector_pallas_enabled())
+                          and _vmem_ok_nd3(d, C3, *grid3,
+                                           jnp.real(b).dtype))
+        if use_pallas:
+            return _fused_cheb_nd3(w, dinv, b, x0, steps, theta, delta,
+                                   d, want_residual=want_residual,
+                                   interpret=interpret,
+                                   weight_dtype=weight_dtype)
         use_pallas = False
     if is_vector and (nd != 2 or is_complex or w.shape[-1] != 2
                       or b.ndim > 4 or not _vector_pallas_enabled()):
         # complex-vector (incompressible ParaDiag frequency blocks),
-        # 3-D, dim != 2 and extra-batched cases run the XLA fallback
+        # dim != 2 and extra-batched cases run the XLA fallback
         use_pallas = False
     ny, nx = b.shape[-3:-1] if is_vector else b.shape[-2:]
     if use_pallas is None:
@@ -740,6 +857,232 @@ def _fused_cheb_vector(w, dinv, b, x0, steps, theta, delta, degree,
     if not batched:
         x_out, r_out = x_out[0], r_out[0]
     return (x_out, r_out) if want_residual else x_out
+
+
+def _vmem_ok_nd3(degree, C, nz, ny, nx, rdtype):
+    """Whole-volume residency feasibility for the generic 3-D fused
+    smoother: K*C*C weight volumes + C*C dinv + ~6C field volumes must fit
+    the scoped-VMEM budget (tile padding included)."""
+    K = (2 * degree + 1) ** 3
+    vol = nz * _padded_plane_bytes(ny, nx, rdtype)
+    vols = K * C * C + C * C + 6 * C + 2 * C       # + double buffering slack
+    return vols * vol < _VMEM_BUDGET
+
+
+def _coupled_form_3d(w, dinv, b, x0, is_complex, dim):
+    """Normalize the 3-D smoother inputs to real 'coupled' form:
+
+        fields  (n, C, nz, ny, nx)
+        weights (nw, K, C, C, nz, ny, nx)
+        dinv    (n, C, C, nz, ny, nx)
+
+    C = 1 (scalar), 2 (complex: coupling [[re, -im], [im, re]]), or dim.
+    Returns (wc, dc, bc, xc, C, decode) where decode maps the kernel's
+    (n, C, nz, ny, nx) output back to the caller's layout."""
+    if is_complex:
+        wr, wi = jnp.real(w), jnp.imag(w)
+        wc = jnp.stack([jnp.stack([wr, -wi], axis=-1),
+                        jnp.stack([wi, wr], axis=-1)], axis=-2)
+        # -> (..., K, nz, ny, nx, C, C); move couplings behind K
+        wc = jnp.moveaxis(jnp.moveaxis(wc, -1, -5), -1, -5)
+        dr, di = jnp.real(dinv), jnp.imag(dinv)
+        dc = jnp.stack([jnp.stack([dr, -di], axis=-1),
+                        jnp.stack([di, dr], axis=-1)], axis=-2)
+        dc = jnp.moveaxis(jnp.moveaxis(dc, -1, -5), -1, -5)
+        bc = jnp.stack([jnp.real(b), jnp.imag(b)], axis=-4)
+        xc = jnp.stack([jnp.real(x0), jnp.imag(x0)], axis=-4)
+
+        def decode(y):
+            return y[..., 0, :, :, :] + 1j * y[..., 1, :, :, :]
+        return wc, dc, bc, xc, 2, decode
+    if dim:
+        # w: (..., K, nz, ny, nx, dim, dim); fields (..., nz, ny, nx, dim)
+        wc = jnp.moveaxis(jnp.moveaxis(w, -1, -5), -1, -5)
+        dd = jnp.zeros(dinv.shape[:-4] + (dim, dim) + dinv.shape[-4:-1],
+                       dinv.dtype)
+        dmoved = jnp.moveaxis(dinv, -1, -4)        # (..., dim, nz, ny, nx)
+        for c in range(dim):
+            dd = dd.at[..., c, c, :, :, :].set(dmoved[..., c, :, :, :])
+        bc = jnp.moveaxis(b, -1, -4)
+        xc = jnp.moveaxis(x0, -1, -4)
+
+        def decode(y):
+            return jnp.moveaxis(y, -4, -1)
+        return wc, dd, bc, xc, dim, decode
+    raise ValueError("scalar inputs are coupled inline by the caller")
+
+
+def _fused_cheb_nd3(w, dinv, b, x0, steps, theta, delta, degree,
+                    want_residual=False, interpret=False,
+                    weight_dtype=None):
+    """Generic fused 3-D Chebyshev-Jacobi smoother (whole volumes VMEM
+    resident; one kernel runs all ``steps`` iterations with the K*(C*C)
+    weight volumes read from HBM once instead of once per step).
+
+    Covers scalar (C=1), complex ParaDiag frequency blocks (C=2 coupled
+    real form) and vector spaces (C=dim) via ``_coupled_form_3d``.  The
+    caller gates on `_vmem_ok_nd3`; oversize volumes (e.g. the 64^3
+    finest level) stay on the XLA fallback while every coarser V-cycle
+    level dispatches here.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = degree
+    offs = stencil_offsets(d, 3)
+    K = len(offs)
+    is_complex = jnp.iscomplexobj(b)
+    is_vector = _is_vector_stencil(w, 3)
+    dim = w.shape[-1] if is_vector else None
+    grid3 = b.shape[-4:-1] if is_vector else b.shape[-3:]
+    nz, ny, nx = grid3
+    lead = (b.ndim - 4) if is_vector else (b.ndim - 3)
+    batched = lead == 1
+    b_b = b if batched else b[None]
+    x_b = jnp.broadcast_to(x0 if batched else x0[None], b_b.shape)
+    dinv_b = jnp.broadcast_to(dinv if batched else dinv[None], b_b.shape)
+    w_has_batch = w.ndim == (7 if is_vector else 5)
+    w_b = w if w_has_batch else w[None]
+    n = b_b.shape[0]
+    w_per_batch = w_b.shape[0] == n and n > 1
+    if not w_per_batch and w_b.shape[0] != 1:
+        raise ValueError("stencil batch mismatch")
+    rdtype = jnp.real(b).dtype
+    wdt = jnp.dtype(weight_dtype) if weight_dtype is not None else rdtype
+
+    if is_complex or is_vector:
+        wc, dc, bc, xc, C, decode = _coupled_form_3d(
+            w_b, dinv_b, b_b, x_b, is_complex, dim)
+    else:
+        C = 1
+        wc = w_b[:, :, None, None]                 # (nw, K, 1, 1, nz, ny, nx)
+        dc = dinv_b[:, None, None]                 # (n, 1, 1, nz, ny, nx)
+        bc = b_b[:, None]
+        xc = x_b[:, None]
+        decode = None
+
+    nw = wc.shape[0]
+    # flatten to 4-D refs: (axis0, planes, ny, nx)
+    w_f = wc.reshape(nw, K * C * C * nz, ny, nx).astype(wdt)
+    d_f = dc.reshape(n, C * C * nz, ny, nx).astype(wdt)
+    b_f = bc.reshape(n, C * nz, ny, nx)
+    x_f = xc.reshape(n, C * nz, ny, nx)
+    th = jnp.broadcast_to(jnp.asarray(theta, rdtype).reshape(-1, 1), (n, 1))
+    de = jnp.broadcast_to(jnp.asarray(delta, rdtype).reshape(-1, 1), (n, 1))
+    pz, py, px = nz + 2 * d, ny + 2 * d, nx + 2 * d
+
+    def kernel(th_ref, de_ref, w_ref, d_ref, b_ref, x_ref,
+               ox_ref, r_ref, xp):
+        i = pl.program_id(0)
+        theta_ = th_ref[i, 0]
+        delta_ = de_ref[i, 0]
+        sigma1_ = theta_ / delta_
+        xp[:] = jnp.zeros_like(xp)
+        for c in range(C):
+            xp[c * pz + d: c * pz + d + nz, d: d + ny, d: d + nx] = \
+                x_ref[0, c * nz: (c + 1) * nz].astype(rdtype)
+
+        def wvol(k, r, c):
+            q = ((k * C + r) * C + c) * nz
+            return w_ref[0, q: q + nz].astype(rdtype)
+
+        def dvol(r, c):
+            q = (r * C + c) * nz
+            return d_ref[0, q: q + nz].astype(rdtype)
+
+        def xshift(c, oz, oy, ox_):
+            return xp[c * pz + d + oz: c * pz + d + oz + nz,
+                      d + oy: d + oy + ny, d + ox_: d + ox_ + nx]
+
+        def resid():
+            rs = []
+            for r in range(C):
+                acc = None
+                for k, (oz, oy, ox_) in enumerate(offs):
+                    for c in range(C):
+                        t = wvol(k, r, c) * xshift(c, oz, oy, ox_)
+                        acc = t if acc is None else acc + t
+                rs.append(b_ref[0, r * nz: (r + 1) * nz] - acc)
+            return rs
+
+        def precond(rs):
+            zs = []
+            for r in range(C):
+                acc = None
+                for c in range(C):
+                    t = dvol(r, c) * rs[c]
+                    acc = t if acc is None else acc + t
+                zs.append(acc)
+            return zs
+
+        rs = resid()
+        ps = [z / theta_ for z in precond(rs)]
+        for c in range(C):
+            xp[c * pz + d: c * pz + d + nz, d: d + ny, d: d + nx] = \
+                xp[c * pz + d: c * pz + d + nz, d: d + ny, d: d + nx] + ps[c]
+        rho = 1.0 / sigma1_
+        for _ in range(steps - 1):
+            rs = resid()
+            zs = precond(rs)
+            rho_new = 1.0 / (2.0 * sigma1_ - rho)
+            cc = 2.0 * rho_new / delta_
+            ps = [rho_new * rho * p + cc * z for p, z in zip(ps, zs)]
+            for c in range(C):
+                xp[c * pz + d: c * pz + d + nz, d: d + ny, d: d + nx] = \
+                    xp[c * pz + d: c * pz + d + nz,
+                       d: d + ny, d: d + nx] + ps[c]
+            rho = rho_new
+        for c in range(C):
+            ox_ref[0, c * nz: (c + 1) * nz] = \
+                xp[c * pz + d: c * pz + d + nz, d: d + ny, d: d + nx]
+        rs = resid()
+        for c in range(C):
+            r_ref[0, c * nz: (c + 1) * nz] = rs[c]
+
+    w_index = (lambda i: (i, 0, 0, 0)) if w_per_batch else \
+        (lambda i: (0, 0, 0, 0))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    fld = pl.BlockSpec((1, C * nz, ny, nx), lambda i: (i, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET)
+    x_out, r_out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[smem, smem,
+                  pl.BlockSpec((1, K * C * C * nz, ny, nx), w_index,
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, C * C * nz, ny, nx),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  fld, fld],
+        out_specs=(fld, fld),
+        out_shape=(jax.ShapeDtypeStruct((n, C * nz, ny, nx), rdtype),
+                   jax.ShapeDtypeStruct((n, C * nz, ny, nx), rdtype)),
+        scratch_shapes=[pltpu.VMEM((C * pz, py, px), rdtype)],
+        interpret=interpret,
+        **kwargs,
+    )(th, de, w_f, d_f, b_f, x_f)
+
+    def unflat(y):
+        y = y.reshape(n, C, nz, ny, nx)
+        if decode is not None:
+            y = decode(y)
+        else:
+            y = y[:, 0]
+        return y if batched else y[0]
+
+    x_fin, r_fin = unflat(x_out), unflat(r_out)
+    return (x_fin, r_fin) if want_residual else x_fin
+    """Assembled diagonal from stencil weights: (..., *grid[, dim])."""
+    if vector:
+        K = w.shape[-(nd + 3)]
+        c = jnp.take(w, K // 2, axis=w.ndim - (nd + 3))
+        return jnp.diagonal(c, axis1=-2, axis2=-1)
+    K = w.shape[-(nd + 1)]
+    return jnp.take(w, K // 2, axis=-(nd + 1))
 
 
 def stencil_diag(w, vector, nd=2):

@@ -205,6 +205,113 @@ def main():
                       "n": N, "n_t": N_T,
                       "backend": jax.default_backend()}))
 
+    # ---- roofline: analytic bytes/FLOPs per component vs device peaks ----
+    sm = 2 * int(os.environ.get("BENCH_PD_SMOOTH", "4"))
+    cycles = int(os.environ.get("BENCH_PD_CYCLES", "1"))
+    mass_steps = int(os.environ.get("BENCH_MASS_STEPS", "20"))
+    wbytes = 2 if os.environ.get("BENCH_PD_WEIGHT_DTYPE") == "bfloat16" \
+        else 4
+    est = _roofline_estimates(N, N_T, sm=sm, cycles=cycles,
+                              mass_steps=mass_steps, wbytes=wbytes)
+    peaks = _device_peaks()
+    roof = []
+    for r in results:
+        name = r["component"]
+        if name not in est:
+            continue
+        bts, fl = est[name]
+        t = r["kernel_ms"] / 1e3
+        row = {"component": name,
+               "est_GB": round(bts / 1e9, 3),
+               "est_GFLOP": round(fl / 1e9, 3),
+               "achieved_GBps": round(bts / t / 1e9, 1),
+               "achieved_TFLOPs": round(fl / t / 1e12, 3)}
+        if peaks:
+            row["pct_peak_bw"] = round(100 * bts / t / peaks["bw"], 1)
+            row["pct_peak_flops"] = round(100 * fl / t / peaks["flops"], 2)
+            row["bound"] = ("bandwidth" if row["pct_peak_bw"]
+                            >= row["pct_peak_flops"] else "compute")
+        roof.append(row)
+        print("ROOFLINE:" + json.dumps(row), flush=True)
+    if peaks:
+        print(json.dumps({"device": peaks["kind"],
+                          "peak_GBps": peaks["bw"] / 1e9,
+                          "peak_TFLOPs_f32": peaks["flops"] / 1e12,
+                          "note": "estimates count HBM-visible traffic; "
+                                  "VMEM-resident fused kernels can beat "
+                                  "the per-step model"}))
+
+
+def _device_peaks():
+    """Published per-chip peaks (HBM bytes/s, f32 FLOP/s) by device kind;
+    override with PROF_PEAK_GBPS / PROF_PEAK_TFLOPS."""
+    kind = jax.devices()[0].device_kind.lower()
+    table = {
+        # kind-substring: (HBM GB/s, f32 TFLOP/s)
+        "v5 lite": (819, 49),  "v5e": (819, 49),
+        "v5p": (2765, 229),    "v5": (1228, 117),
+        "v4": (1228, 137),
+        "v6 lite": (1640, 229), "v6e": (1640, 229),
+        "cpu": (50, 0.2),
+    }
+    bw = tf = None
+    for key, (b, f) in table.items():
+        if key in kind:
+            bw, tf = b, f
+            break
+    bw = float(os.environ.get("PROF_PEAK_GBPS", bw or 0))
+    tf = float(os.environ.get("PROF_PEAK_TFLOPS", tf or 0))
+    if not bw or not tf:
+        return None
+    return {"kind": kind, "bw": bw * 1e9, "flops": tf * 1e12}
+
+
+def _roofline_estimates(N, N_T, K=9, sm=8, cycles=1, mass_steps=20,
+                        wbytes=4, fbytes=4):
+    """HBM-visible bytes and FLOPs per profiled component (f32 fields,
+    2-D Q1 heat bench).  Counting model: every smoothing step of the XLA
+    path re-reads the K weight planes and ~3 field planes and writes one;
+    complex planes are (re, im) pairs; the V-cycle level sum is the 2-D
+    geometric factor 4/3; matmul DFTs are 8 flops per complex MAC."""
+    G = (N + 1) ** 2
+    n = N_T - 1
+    n_f = n // 2 + 1
+
+    def cplx_stencil(batch):
+        # bytes: 2K weight planes + ~6 field planes; flops: 8K per point
+        return (batch * G * (2 * K * wbytes + 6 * fbytes),
+                batch * G * 8 * K)
+
+    def real_stencil(batch):
+        return (batch * G * (K * wbytes + 3 * fbytes),
+                batch * G * 2 * K)
+
+    # one DFT pair: two (n_f x n) x (n, G) complex-ish matmuls
+    dft_b = (n * G + n_f * 2 * G) * fbytes * 2 + n * n_f * 8 * 2
+    dft_f = 2 * (8 * n_f * n * G)
+    # one batched V-cycle over n_f frequencies: (sm + 2) level-0 complex
+    # stencil steps, x 4/3 for the level sum
+    vb, vf = cplx_stencil(n_f)
+    vcyc = ((sm + 2) * 4 / 3 * vb, (sm + 2) * 4 / 3 * vf)
+    freq = (cycles * vcyc[0], cycles * vcyc[1])
+    circ = (dft_b + freq[0], dft_f + freq[1])
+    fab, faf = real_stencil(2 * n)            # diag + sub factor applies
+    sweep = (2 * circ[0] + fab, 2 * circ[1] + faf)
+    mb, mf = real_stencil(n * mass_steps)
+    mass = (mb, mf)
+    kb, kf = real_stencil(6 * n)              # 4 block applies + T scans
+    kkt = (kb + 4 * n * G * fbytes, kf + 4 * n * G)
+    pc = (mass[0] + 2 * sweep[0] + kkt[0] // 3,
+          mass[1] + 2 * sweep[1] + kkt[1] // 3)
+    return {"dft_pair": (dft_b, dft_f),
+            "freq_vcycles_x2": freq,
+            "circulant_solve": circ,
+            "paradiag_sweep": sweep,
+            "mass_chebyshev20": mass,
+            "factor_apply": (fab, faf),
+            "kkt_matvec": kkt,
+            "pc_apply": pc}
+
 
 if __name__ == "__main__":
     main()
