@@ -411,8 +411,16 @@ def mass_solver(M_op, mask, multigrid_flag, lambda_bounds, state=None,
     error by ~(sqrt(k)-1)/(sqrt(k)+1) ~ 0.5, so 20 steps reach ~1e-6 --
     far tighter than a preconditioner block needs; 10-12 steps usually
     hold the same outer iteration count at half the (1,1)-solve cost
-    (tunable via ``Control.*.set_mass_solver_steps``)."""
+    (tunable via ``Control.*.set_mass_solver_steps``).  ``steps`` only
+    applies to the Chebyshev branch: with Multigrid=True the reference
+    semantics are a fixed AMG application count, so a set step count is
+    rejected rather than silently ignored."""
     if multigrid_flag:
+        if steps is not None:
+            raise ValueError(
+                "set_mass_solver_steps configures the Chebyshev (1,1) "
+                "solve and has no effect with Multigrid=True; unset it "
+                "or drop the Multigrid flag")
         return BlockSolver(M_op, mask, ("mg", 2), state=state)
     if lambda_bounds is not None:
         return BlockSolver(M_op, mask,

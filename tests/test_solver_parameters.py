@@ -81,3 +81,22 @@ def test_divergence_limit(system):
         "linear_solver": "gmres", "monitor_convergence": False,
         "divergence limit": 1.0e6, "maximum_iterations": 500})
     assert info.converged
+
+
+def test_mass_solver_steps_rejected_with_multigrid():
+    """set_mass_solver_steps is Chebyshev-only; combining it with
+    Multigrid=True raises instead of silently doing nothing
+    (mass_solver docstring; reference (1,1) recipes
+    control/control.py:356-394)."""
+    import pytest as _pytest
+    from control_tpu.models.common import mass_solver
+    from control_tpu.fem.assemble import assemble
+    from control_tpu.fem.expr import TrialFunction, TestFunction, inner
+    from control_tpu.fem.forms import dx
+    from control_tpu import UnitSquareMesh, FunctionSpace
+    mesh = UnitSquareMesh(4, 4, quadrilateral=True)
+    space = FunctionSpace(mesh, "Lagrange", 1)
+    u, v = TrialFunction(space), TestFunction(space)
+    M = assemble(inner(u, v) * dx)
+    with _pytest.raises(ValueError, match="set_mass_solver_steps"):
+        mass_solver(M, None, True, (0.25, 2.25), steps=12)
