@@ -6,7 +6,7 @@ the public problem-layer API (CPU backend, float64 -- the reference's
 PETSc precision) and tabulates outer Krylov iteration counts against the
 reference's defaults:
 
-  * stationary Poisson control ... MINRES, <= 50   (ref control/control.py:563-568)
+  * stationary Poisson control ... GMRES(10), <= 50 (ref control/control.py:562-568)
   * instationary conv-diff     ... GMRES(10), <= 50 (ref control/control.py:3260-3266)
   * instationary Stokes        ... FGMRES(10), <= 100 (ref control/control.py:4291-4297)
   * instationary Navier-Stokes ... Picard <= 10 outer, FGMRES(10) <= 100 inner
@@ -44,7 +44,7 @@ from control_tpu import (Control, UnitSquareMesh, RectangleMesh,  # noqa: E402
 
 # (reference default budget, reference anchor)
 BUDGETS = {
-    "poisson": (50, "control/control.py:563-568 (MINRES, rtol 1e-6)"),
+    "poisson": (50, "control/control.py:562-568 (GMRES(10), rtol 1e-6)"),
     "convdiff": (50, "control/control.py:3260-3266 (GMRES(10))"),
     "stokes": (100, "control/control.py:4291-4297 (FGMRES(10))"),
     "nse": (100, "control/control.py:4291-4297 + :3381-3383 (Picard<=10)"),
@@ -62,8 +62,10 @@ def _sp(linear_solver, max_it, restart=10):
 
 
 def run_poisson():
-    """Stationary Poisson control, MINRES -- the reference's
-    self-adjoint recipe (BASELINE.md row 1)."""
+    """Stationary Poisson control -- the reference's default stationary
+    recipe is GMRES(10) + the block-triangular matching-Schur pc
+    (control/control.py:540-568; its pc is triangular, so MINRES-style
+    symmetric preconditioning is NOT the reference configuration)."""
     mesh = UnitSquareMesh(64, 64, quadrilateral=True)
     space = FunctionSpace(mesh, "Lagrange", 1)
     X = SpatialCoordinate(mesh)
@@ -82,9 +84,9 @@ def run_poisson():
                              beta=1e-4,
                              bcs_v=DirichletBC(space, 0.0, "on_boundary"))
     ctl.linear_solve(lambda_v_bounds=(0.25, 2.25),
-                     solver_parameters=_sp("minres", 50),
+                     solver_parameters=_sp("gmres", 50),
                      print_error=False, create_output=False, plots=False)
-    return ctl.last_solve_info, "minres", "64^2 Q1, beta=1e-4"
+    return ctl.last_solve_info, "gmres(10)", "64^2 Q1, beta=1e-4"
 
 
 def run_convdiff():
@@ -225,7 +227,12 @@ RUNNERS = {"poisson": run_poisson, "convdiff": run_convdiff,
 
 def main():
     configs = os.environ.get("PARITY_CONFIGS", "").split() or list(RUNNERS)
-    rows = []
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sidecar = os.path.join(root, "PARITY.json")
+    merged = {}
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            merged = {r["config"]: r for r in json.load(f)}
     for name in configs:
         t0 = time.time()
         try:
@@ -239,8 +246,11 @@ def main():
         except Exception as e:  # pragma: no cover
             row = {"config": name, "error": f"{type(e).__name__}: {e}"[:200],
                    "seconds": round(time.time() - t0, 1)}
-        rows.append(row)
+        merged[name] = row
         print("PARITY_JSON:" + json.dumps(row), flush=True)
+    rows = [merged[k] for k in RUNNERS if k in merged]
+    with open(sidecar, "w") as f:
+        json.dump(rows, f, indent=1)
 
     out = ["# Iteration-count parity vs the reference's budgets",
            "",
