@@ -294,10 +294,11 @@ def _apply_3d_pallas(w, x, degree, interpret=False):
 
 def _vmem_ok_3d_apply(degree, nz, ny, nx, dtype):
     K = (2 * degree + 1) ** 3
+    pb = _padded_plane_bytes(ny, nx, dtype)
     vol = (nz + 2 * degree) * _padded_plane_bytes(ny + 2 * degree,
                                                   nx + 2 * degree, dtype)
-    w_blk = 2 * K * _padded_plane_bytes(ny, nx, dtype)   # double-buffered
-    return vol + w_blk < _VMEM_BUDGET // 2
+    # every streamed input/output window is double-buffered by Mosaic
+    return 2 * (vol + K * pb + pb) < 110 * 2**20
 
 
 def _pallas_enabled():
@@ -349,11 +350,19 @@ def apply_stencil(w, x, degree, use_pallas=None, nd=2):
     if nd == 3 and not _is_vector_stencil(w, nd) \
             and not jnp.iscomplexobj(x) and x.ndim <= 4:
         if use_pallas is None:
+            # measured on v5e (65^3 x 9, f32): the z-streamed kernel runs
+            # 455 ms vs 247 ms for XLA's fused shifted multiply-adds --
+            # the per-plane grid steps underutilize the VPU, so the
+            # single-pass 3-D kernel is OPT-IN (the multi-step fused
+            # smoother _fused_cheb_nd3 is where VMEM residency pays)
+            import os
             try:
                 platform = next(iter(x.devices())).platform
             except Exception:
                 platform = jax.default_backend()
             use_pallas = (platform == "tpu" and _pallas_enabled()
+                          and os.environ.get(
+                              "CONTROL_TPU_APPLY3D_PALLAS") == "1"
                           and _vmem_ok_3d_apply(d, *x.shape[-3:], x.dtype))
         if use_pallas:
             return _apply_3d_pallas(w, x, d)
@@ -435,10 +444,13 @@ def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
                 platform = next(iter(b.devices())).platform
             except Exception:
                 platform = jax.default_backend()
+            wb3 = (jnp.dtype(weight_dtype).itemsize
+                   if weight_dtype is not None
+                   else jnp.real(b).dtype.itemsize)
             use_pallas = (platform == "tpu" and _pallas_enabled()
                           and (not is_vector or _vector_pallas_enabled())
                           and _vmem_ok_nd3(d, C3, *grid3,
-                                           jnp.real(b).dtype))
+                                           jnp.real(b).dtype, wbytes=wb3))
         if use_pallas:
             return _fused_cheb_nd3(w, dinv, b, x0, steps, theta, delta,
                                    d, want_residual=want_residual,
@@ -859,14 +871,28 @@ def _fused_cheb_vector(w, dinv, b, x0, steps, theta, delta, degree,
     return (x_out, r_out) if want_residual else x_out
 
 
-def _vmem_ok_nd3(degree, C, nz, ny, nx, rdtype):
+_VMEM_CHIP_BYTES = 120 * 2**20     # 128 MiB physical minus headroom
+
+
+def _vmem_ok_nd3(degree, C, nz, ny, nx, rdtype, wbytes=None):
     """Whole-volume residency feasibility for the generic 3-D fused
-    smoother: K*C*C weight volumes + C*C dinv + ~6C field volumes must fit
-    the scoped-VMEM budget (tile padding included)."""
+    smoother.  Mosaic DOUBLE-BUFFERS every streamed input window (verified
+    on-chip: 'input window ... has 2 buffering levels' in the v5e OOM
+    report), so inputs count twice; scratch (xp + p) counts once.  Checked
+    against the physical per-core VMEM (v5e: 128 MiB), not the scoped
+    budget."""
     K = (2 * degree + 1) ** 3
-    vol = nz * _padded_plane_bytes(ny, nx, rdtype)
-    vols = K * C * C + C * C + 6 * C + 2 * C       # + double buffering slack
-    return vols * vol < _VMEM_BUDGET
+    pb = _padded_plane_bytes(ny, nx, rdtype)
+    wb = pb if wbytes is None else pb * wbytes // jnp.dtype(rdtype).itemsize
+    d = degree
+    ppad = (nz + 2 * d) * _padded_plane_bytes(ny + 2 * d, nx + 2 * d,
+                                              rdtype)
+    inputs = (K * C * C * nz * wb          # weights
+              + C * C * nz * wb            # dinv
+              + 2 * C * nz * pb)           # b, x0
+    outputs = 2 * C * nz * pb              # x, r
+    scratch = C * ppad + C * nz * pb       # xp, p
+    return 2 * (inputs + outputs) + scratch < _VMEM_CHIP_BYTES
 
 
 def _coupled_form_3d(w, dinv, b, x0, is_complex, dim):
@@ -972,7 +998,7 @@ def _fused_cheb_nd3(w, dinv, b, x0, steps, theta, delta, degree,
     pz, py, px = nz + 2 * d, ny + 2 * d, nx + 2 * d
 
     def kernel(th_ref, de_ref, w_ref, d_ref, b_ref, x_ref,
-               ox_ref, r_ref, xp):
+               ox_ref, r_ref, xp, pp):
         i = pl.program_id(0)
         theta_ = th_ref[i, 0]
         delta_ = de_ref[i, 0]
@@ -1016,22 +1042,32 @@ def _fused_cheb_nd3(w, dinv, b, x0, steps, theta, delta, degree,
             return zs
 
         rs = resid()
-        ps = [z / theta_ for z in precond(rs)]
+        zs = precond(rs)
         for c in range(C):
+            p0 = zs[c] / theta_
+            pp[c * nz: (c + 1) * nz] = p0
             xp[c * pz + d: c * pz + d + nz, d: d + ny, d: d + nx] = \
-                xp[c * pz + d: c * pz + d + nz, d: d + ny, d: d + nx] + ps[c]
-        rho = 1.0 / sigma1_
-        for _ in range(steps - 1):
+                xp[c * pz + d: c * pz + d + nz, d: d + ny, d: d + nx] + p0
+
+        # rolled step loop: the unrolled variant's Mosaic compile time
+        # scales with steps * K * C^2 volume ops and becomes minutes at
+        # V-cycle-level shapes; the p iterate lives in a scratch ref so
+        # only the scalar rho is loop-carried
+        def body(_, rho):
             rs = resid()
             zs = precond(rs)
             rho_new = 1.0 / (2.0 * sigma1_ - rho)
             cc = 2.0 * rho_new / delta_
-            ps = [rho_new * rho * p + cc * z for p, z in zip(ps, zs)]
             for c in range(C):
+                p_new = (rho_new * rho * pp[c * nz: (c + 1) * nz]
+                         + cc * zs[c])
+                pp[c * nz: (c + 1) * nz] = p_new
                 xp[c * pz + d: c * pz + d + nz, d: d + ny, d: d + nx] = \
                     xp[c * pz + d: c * pz + d + nz,
-                       d: d + ny, d: d + nx] + ps[c]
-            rho = rho_new
+                       d: d + ny, d: d + nx] + p_new
+            return rho_new
+
+        jax.lax.fori_loop(0, steps - 1, body, 1.0 / sigma1_)
         for c in range(C):
             ox_ref[0, c * nz: (c + 1) * nz] = \
                 xp[c * pz + d: c * pz + d + nz, d: d + ny, d: d + nx]
@@ -1061,7 +1097,8 @@ def _fused_cheb_nd3(w, dinv, b, x0, steps, theta, delta, degree,
         out_specs=(fld, fld),
         out_shape=(jax.ShapeDtypeStruct((n, C * nz, ny, nx), rdtype),
                    jax.ShapeDtypeStruct((n, C * nz, ny, nx), rdtype)),
-        scratch_shapes=[pltpu.VMEM((C * pz, py, px), rdtype)],
+        scratch_shapes=[pltpu.VMEM((C * pz, py, px), rdtype),
+                        pltpu.VMEM((C * nz, ny, nx), rdtype)],
         interpret=interpret,
         **kwargs,
     )(th, de, w_f, d_f, b_f, x_f)

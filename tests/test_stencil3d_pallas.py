@@ -133,7 +133,10 @@ def test_apply_3d_pallas_matches_xla():
 
 
 def test_vmem_gate_3d():
-    """64^3-class finest levels must NOT claim whole-volume residency for
-    the complex kernel; small multigrid levels must."""
+    """The gate must model Mosaic's double-buffered input windows against
+    the physical 128 MiB VMEM (on-chip verified: 33^3 complex f32 OOMs at
+    146 MB, 17^3 runs); bf16 weights extend the reach."""
     assert _vmem_ok_nd3(1, 2, 17, 17, 17, jnp.float32)
+    assert not _vmem_ok_nd3(1, 2, 33, 33, 33, jnp.float32)
     assert not _vmem_ok_nd3(1, 2, 65, 65, 65, jnp.float32)
+    assert _vmem_ok_nd3(1, 2, 33, 33, 33, jnp.float32, wbytes=2)
