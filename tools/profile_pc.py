@@ -113,14 +113,15 @@ def main():
         Dv_A = ctl._D_stack(ctl._v.data)
         b00, b01, b10, b11, M = ctl._blocks(Dv_A)
         pc = ctl.construct_pc(False, (0.25, 2.25), mask, Dv_A, M)
+        # complex leaves encoded as (re, im) -- on the axon backend,
+        # complex DEVICE arrays can neither transfer nor appear as jit
+        # constants, so every timed function takes the encoded state as an
+        # ARGUMENT and rebuilds its component inside the trace (the same
+        # state-as-args pattern as the production solve kernels)
         state = to_device(pc.state)
-        pc_dev = ctl.construct_pc(False, (0.25, 2.25), mask, Dv_A, M,
-                                  prebuilt=state)
         v_0 = ctl._initial_state()
         b_0, b_1 = ctl._build_rhs(None, None, v_0, Dv_A, M, mask, False,
                                   ctl._bcs_v)
-        fwd_state = state["fwd"]
-        # rebuild a standalone fwd ParaDiag sweep with device state
         from control_tpu.models.instationary import _ParaDiagSweep
         n = ctl._n_t - 1
         tau, beta = ctl._tau, ctl._beta
@@ -128,63 +129,71 @@ def main():
         M_A = M.A
         F_diag = (0.5 * tau * Dv_A[0] + M_A + c * M_A)[None]
         F_sub = (0.5 * tau * Dv_A[0] - M_A + c * M_A)[None]
-        from control_tpu.models.common import decode_complex
-        fwd = _ParaDiagSweep(space, mask, F_diag, F_sub, n,
-                             state={**fwd_state,
-                                    "params": fwd_state["params"]})
 
     results = []
     dev_b0 = jax.device_put(b_0)
     dev_b1 = jax.device_put(b_1)
 
+    def mk_fwd(fwd_state):
+        return _ParaDiagSweep(space, mask, F_diag, F_sub, n,
+                              state=fwd_state)
+
     # 1. one full pc application
-    timed("pc_apply", lambda a, b: pc_dev(a, b), dev_b0, dev_b1,
-          results=results)
+    def pc_apply(st, a, b):
+        pcx = ctl.construct_pc(False, (0.25, 2.25), mask, Dv_A, M,
+                               prebuilt=st)
+        return pcx(a, b)
+    timed("pc_apply", pc_apply, state, dev_b0, dev_b1, results=results)
 
     # 2. one ParaDiag sweep solve (fwd): DFT + batched V-cycles + IDFT
     #    (+ 1 defect step = 2 circulant solves + 1 factor apply)
-    timed("paradiag_sweep", lambda b: fwd.solve(b, False), dev_b1,
-          results=results)
+    timed("paradiag_sweep", lambda st, b: mk_fwd(st).solve(b, False),
+          state["fwd"], dev_b1, results=results)
 
     # 3. circulant solve only (no defect correction)
-    timed("circulant_solve", lambda b: fwd._circulant_solve(b), dev_b1,
-          results=results)
+    timed("circulant_solve", lambda st, b: mk_fwd(st)._circulant_solve(b),
+          state["fwd"], dev_b1, results=results)
 
     # 4. DFT pair only
-    Wf, Wb = fwd._Wf, fwd._Wb
-
-    def dft_pair(b):
-        g = b.astype(Wf.dtype)
-        ghat = jnp.einsum("kj,j...->k...", Wf, g,
+    def dft_pair(st, b):
+        fwd = mk_fwd(st)
+        g = b.astype(fwd._Wf.dtype)
+        ghat = jnp.einsum("kj,j...->k...", fwd._Wf, g,
                           precision=jax.lax.Precision.HIGHEST)
-        return jnp.real(jnp.einsum("jk,k...->j...", Wb, ghat,
+        return jnp.real(jnp.einsum("jk,k...->j...", fwd._Wb, ghat,
                                    precision=jax.lax.Precision.HIGHEST))
 
-    timed("dft_pair", dft_pair, dev_b1, results=results)
+    timed("dft_pair", dft_pair, state["fwd"], dev_b1, results=results)
 
-    # 5. batched complex multi-V-cycle only
+    # 5. batched complex multi-V-cycle only (complex input built in-trace
+    # from real planes)
     n_f = n // 2 + 1
-    ghat = jnp.asarray(
-        np.random.default_rng(0).standard_normal((n_f,) + b_1.shape[1:])
-        + 1j * np.random.default_rng(1).standard_normal(
-            (n_f,) + b_1.shape[1:]), fwd._Wf.dtype)
-    params = fwd.params
-    timed("freq_vcycles_x2",
-          lambda g: fwd.config.apply(params, g, cycles=fwd.cycles),
-          jax.device_put(ghat), results=results)
+    gre = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (n_f,) + b_1.shape[1:]), b_1.dtype)
+    gim = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (n_f,) + b_1.shape[1:]), b_1.dtype)
+
+    def freq_vcycles(st, gr, gi):
+        fwd = mk_fwd(st)
+        g = gr + 1j * gi
+        out = fwd.config.apply(fwd.params, g, cycles=fwd.cycles)
+        return jnp.real(out), jnp.imag(out)
+
+    timed("freq_vcycles_x2", freq_vcycles, state["fwd"],
+          jax.device_put(gre), jax.device_put(gim), results=results)
 
     # 6. mass Chebyshev (the (1,1) block solve, 20 its over all blocks)
-    solver_0 = None
     from control_tpu.models.common import mass_solver
-    with host_setup():
-        solver_0 = mass_solver(M, mask, False, (0.25, 2.25),
-                               state=state["solver_0"])
-    timed("mass_chebyshev20", lambda b: solver_0(b), dev_b0,
+
+    def mass_apply(st, b):
+        s0 = mass_solver(M, mask, False, (0.25, 2.25), state=st)
+        return s0(b)
+    timed("mass_chebyshev20", mass_apply, state["solver_0"], dev_b0,
           results=results)
 
     # 7. defect-correction factor apply
-    timed("factor_apply", lambda u: fwd._factor_apply(u), dev_b1,
-          results=results)
+    timed("factor_apply", lambda st, u: mk_fwd(st)._factor_apply(u),
+          state["fwd"], dev_b1, results=results)
 
     # 8. outer KKT operator matvec
     from control_tpu.solvers.block import (MultiBlockSystem,
