@@ -119,6 +119,11 @@ def build_extra(config):
                                    force_f=ff, beta=1e-2, space_p=space_p,
                                    n_t=16, time_interval=(0.0, 1.0),
                                    CN=True, bcs_v=bc_t)
+        import os as _os
+        if _os.environ.get("CONTROL_TPU_FUSED_INCOMPRESSIBLE") == "1":
+            # retry the single fused-program solve on TPU (the historical
+            # kernel fault predates the state-as-args change)
+            ctl._host_loop = False
 
         def run():
             ctl.incompressible_linear_solve(
@@ -213,7 +218,18 @@ def build_extra(config):
                                    force_f=ff, beta=1e-4, n_t=nt3,
                                    time_interval=(0.0, 2.0), CN=True,
                                    bcs_v=bc_t)
-        ctl.set_schur_sweep("paradiag")
+        # same env knobs as the flagship 2-D bench (bench.py)
+        sm = os.environ.get("BENCH_PD_SMOOTH")
+        ctl.set_schur_sweep(
+            "paradiag",
+            paradiag_cycles=(int(os.environ["BENCH_PD_CYCLES"])
+                             if os.environ.get("BENCH_PD_CYCLES")
+                             else None),
+            smooth=(int(sm), int(sm)) if sm else None,
+            weight_dtype=os.environ.get("BENCH_PD_WEIGHT_DTYPE"))
+        ms3 = os.environ.get("BENCH_MASS_STEPS")
+        if ms3:
+            ctl.set_mass_solver_steps(int(ms3))
 
         def run():
             ctl.linear_solve(
