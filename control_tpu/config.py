@@ -104,6 +104,12 @@ def _fork_probe_serialize_ok(executable, max_bytes, timeout=180.0):
             os.close(r)
             devnull = os.open(os.devnull, os.O_WRONLY)
             os.dup2(devnull, 2)                      # hide the abort trace
+            import faulthandler
+            if faulthandler.is_enabled():
+                # pytest pre-registers faulthandler on its own captured fd
+                # (dup2 on fd 2 does not silence it); a crash dump from
+                # this sacrificial child would pollute the parent's output
+                faulthandler.disable()
             data = executable.serialize()
             os.write(w, b"1" if len(data) <= max_bytes else b"0")
             os._exit(0)
