@@ -1039,6 +1039,21 @@ class Instationary:
         usually holds the outer iteration count at half the cost)."""
         self._mass_cheb_steps = None if steps is None else int(steps)
 
+    def set_incompressible_execution(self, mode=None):
+        """How the incompressible KKT solve executes on accelerators:
+        "fused" -- the whole solve is ONE XLA program (fastest when it
+        compiles: 75 s vs 165 s host-loop on the 16^2 x 16 TPU Stokes
+        bench, 34 vs 35 iterations, and 203 s vs 390 s first call --
+        the historical single-chip kernel fault no longer reproduces now
+        that all pc state is passed as arguments; compile time still
+        grows steeply with problem size); "host" -- the outer FGMRES
+        runs on the host, dispatching separately-jitted operator/pc
+        programs (bounded compile; the accelerator default); None --
+        auto (host on accelerators, fused on CPU)."""
+        if mode not in (None, "fused", "host"):
+            raise ValueError(f"unknown incompressible execution {mode!r}")
+        self._host_loop = None if mode is None else (mode == "host")
+
     def construct_pc(self, Multigrid, lambda_v_bounds, mask, Dv_A, M,
                      epsilon=None, prebuilt=None):
         """The reference's CN/BE block preconditioner

@@ -153,6 +153,19 @@ class Stationary:
         usually holds the outer iteration count at half the cost)."""
         self._mass_cheb_steps = None if steps is None else int(steps)
 
+    def set_incompressible_execution(self, mode=None):
+        """How the incompressible KKT solve executes on accelerators:
+        "fused" -- the whole solve is ONE XLA program (fastest when it
+        compiles: 75 s vs 165 s host-loop on the 16^2 x 16 TPU Stokes
+        bench, but compile time grows steeply with problem size);
+        "host" -- the outer FGMRES runs on the host, dispatching
+        separately-jitted operator/pc programs (bounded compile; the
+        accelerator default); None -- auto (host on accelerators, fused
+        on CPU)."""
+        if mode not in (None, "fused", "host"):
+            raise ValueError(f"unknown incompressible execution {mode!r}")
+        self._host_loop = None if mode is None else (mode == "host")
+
     def set_Gauss_Newton(self, Gauss_Newton=True):
         self._Gauss_Newton = Gauss_Newton
 

@@ -100,3 +100,29 @@ def test_mass_solver_steps_rejected_with_multigrid():
     M = assemble(inner(u, v) * dx)
     with _pytest.raises(ValueError, match="set_mass_solver_steps"):
         mass_solver(M, None, True, (0.25, 2.25), steps=12)
+
+
+def test_set_incompressible_execution_modes():
+    """Setter semantics for the fused-vs-host incompressible execution
+    choice (TPU-measured: fused 75 s vs host-loop 165 s on the 16^2 x 16
+    Stokes bench; instationary.py:set_incompressible_execution)."""
+    import pytest as _pytest
+    from control_tpu import (Control, UnitSquareMesh, FunctionSpace,
+                             VectorFunctionSpace, inner, grad, dx)
+    mesh = UnitSquareMesh(4, 4, quadrilateral=True)
+    space_v = VectorFunctionSpace(mesh, "Lagrange", 2)
+
+    def fdo(trial, test, u, t):
+        return inner(grad(trial), grad(test)) * dx
+
+    ctl = Control.Instationary(space_v, fdo,
+                               space_p=FunctionSpace(mesh, "Lagrange", 1),
+                               n_t=3, time_interval=(0.0, 1.0))
+    ctl.set_incompressible_execution("fused")
+    assert ctl._host_loop is False
+    ctl.set_incompressible_execution("host")
+    assert ctl._host_loop is True
+    ctl.set_incompressible_execution(None)
+    assert ctl._host_loop is None
+    with _pytest.raises(ValueError, match="incompressible execution"):
+        ctl.set_incompressible_execution("gpu")
