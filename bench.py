@@ -97,7 +97,12 @@ def _heat_problem(n, n_t, dtype_name, mode):
     # 4+4 smoothing) hold the same 9 outer iterations at half the pc cost
     # (256^2x64 f32 CPU: 95.5 s -> 47.5 s); env knobs override.
     if mode == "paradiag":
-        sm = int(os.environ.get("BENCH_PD_SMOOTH", "4"))
+        # round-4 tune sweep (tools/tpu_results/tune_r4.log): (3,3)
+        # smoothing + 10 mass-Chebyshev steps hold the same 9 outer
+        # iterations at 0.673 s vs 0.706 s for (4,4)+20; heavier variants
+        # are not faster, bf16 weight planes double the iterations, and
+        # dc=0 diverges (the defect correction is load-bearing)
+        sm = int(os.environ.get("BENCH_PD_SMOOTH", "3"))
         ctl.set_schur_sweep(
             "paradiag",
             paradiag_cycles=int(os.environ.get("BENCH_PD_CYCLES", "1")),
@@ -105,7 +110,8 @@ def _heat_problem(n, n_t, dtype_name, mode):
             weight_dtype=os.environ.get("BENCH_PD_WEIGHT_DTYPE"))
     else:
         ctl.set_schur_sweep(mode)
-    ms = os.environ.get("BENCH_MASS_STEPS")
+    ms = os.environ.get("BENCH_MASS_STEPS",
+                        "10" if mode == "paradiag" else None)
     if ms and mode != "scan":      # the scan proxy keeps the reference's 20
         ctl.set_mass_solver_steps(int(ms))
     return ctl
