@@ -60,7 +60,9 @@ REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 CPU_SCALE = os.environ.get("BENCH_CPU_N")          # optional smaller proxy
 
 
-def _heat_problem(n, n_t, dtype_name, mode):
+def _heat_problem(n, n_t, dtype_name, mode, CN=None):
+    if CN is None:
+        CN = os.environ.get("BENCH_CN", "1") != "0"
     import jax.numpy as jnp
     from control_tpu import (Control, UnitSquareMesh, FunctionSpace,
                              Function, DirichletBC, SpatialCoordinate,
@@ -89,7 +91,7 @@ def _heat_problem(n, n_t, dtype_name, mode):
     ctl = Control.Instationary(
         space, forw_diff_operator, desired_state=desired_state,
         force_f=force_f, beta=1e-4, n_t=n_t, time_interval=(0.0, 2.0),
-        CN=True, bcs_v=bc_t)
+        CN=CN, bcs_v=bc_t)
     # TPU measurement uses the ParaDiag (alpha-circulant FFT) Schur
     # sweeps; the CPU proxy keeps the reference's sequential substitution
     # algorithm (that IS the baseline being compared against).  With the
