@@ -120,7 +120,9 @@ def _heat_problem(n, n_t, dtype_name, mode, CN=None):
 
 
 _SOLVER_PARAMS = {"linear_solver": "gmres", "gmres_restart": 10,
-                  "maximum_iterations": 50, "relative_tolerance": 1.0e-6,
+                  "maximum_iterations": int(os.environ.get("BENCH_MAXIT",
+                                                           "50")),
+                  "relative_tolerance": 1.0e-6,
                   "absolute_tolerance": 0.0, "monitor_convergence": False}
 
 
