@@ -45,6 +45,13 @@ def enable_compilation_cache(path=None):
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         _install_safe_cache_put()
     except Exception:
+        # never leave the cache enabled WITHOUT the >2GB abort guard: if
+        # the patch install failed after the cache-dir update took effect,
+        # turn the cache back off before reporting "disabled"
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+        except Exception:
+            pass
         return None
     return path
 

@@ -457,6 +457,9 @@ def fused_cheb_smooth(w, dinv, b, x0, steps, theta, delta, degree,
                                    interpret=interpret,
                                    weight_dtype=weight_dtype)
         use_pallas = False
+    if nd != 2:
+        # only 2-D grids may reach the 2-D Pallas kernels below
+        use_pallas = False
     if is_vector and (nd != 2 or is_complex or w.shape[-1] != 2
                       or b.ndim > 4 or not _vector_pallas_enabled()):
         # complex-vector (incompressible ParaDiag frequency blocks),
@@ -1113,13 +1116,6 @@ def _fused_cheb_nd3(w, dinv, b, x0, steps, theta, delta, degree,
 
     x_fin, r_fin = unflat(x_out), unflat(r_out)
     return (x_fin, r_fin) if want_residual else x_fin
-    """Assembled diagonal from stencil weights: (..., *grid[, dim])."""
-    if vector:
-        K = w.shape[-(nd + 3)]
-        c = jnp.take(w, K // 2, axis=w.ndim - (nd + 3))
-        return jnp.diagonal(c, axis1=-2, axis2=-1)
-    K = w.shape[-(nd + 1)]
-    return jnp.take(w, K // 2, axis=-(nd + 1))
 
 
 def stencil_diag(w, vector, nd=2):

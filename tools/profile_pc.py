@@ -67,13 +67,15 @@ def build():
         space, forw_diff_operator, desired_state=desired_state,
         force_f=force_f, beta=1e-4, n_t=N_T, time_interval=(0.0, 2.0),
         CN=True, bcs_v=bc_t)
-    # same knobs as bench.py so the profile reflects the bench pc
-    sm = int(os.environ.get("BENCH_PD_SMOOTH", "4"))
+    # same knobs AND same tuned defaults as bench.py ((3,3) smoothing,
+    # 10 mass-Chebyshev steps) so the profile reflects the bench pc
+    sm = int(os.environ.get("BENCH_PD_SMOOTH", "3"))
     ctl.set_schur_sweep(
         "paradiag",
         paradiag_cycles=int(os.environ.get("BENCH_PD_CYCLES", "1")),
         smooth=(sm, sm),
         weight_dtype=os.environ.get("BENCH_PD_WEIGHT_DTYPE"))
+    ctl.set_mass_solver_steps(int(os.environ.get("BENCH_MASS_STEPS", "10")))
     return ctl, space
 
 
@@ -215,9 +217,11 @@ def main():
                       "backend": jax.default_backend()}))
 
     # ---- roofline: analytic bytes/FLOPs per component vs device peaks ----
-    sm = 2 * int(os.environ.get("BENCH_PD_SMOOTH", "4"))
+    # defaults mirror bench.py's tuned configuration (smooth=(3,3),
+    # 10 mass-Chebyshev steps) so the model matches what bench measures
+    sm = 2 * int(os.environ.get("BENCH_PD_SMOOTH", "3"))
     cycles = int(os.environ.get("BENCH_PD_CYCLES", "1"))
-    mass_steps = int(os.environ.get("BENCH_MASS_STEPS", "20"))
+    mass_steps = int(os.environ.get("BENCH_MASS_STEPS", "10"))
     wbytes = 2 if os.environ.get("BENCH_PD_WEIGHT_DTYPE") == "bfloat16" \
         else 4
     est = _roofline_estimates(N, N_T, sm=sm, cycles=cycles,
