@@ -192,11 +192,44 @@ def _cpu_proxy_seconds():
     return None, None
 
 
+def _extra_proxy_seconds(config):
+    """f64 reference-recipe proxy of a secondary config (bench_extra.py
+    --cpu-proxy in a clean-backend subprocess).  Returns (seconds, info)
+    or (None, None).  heat3d runs the proxy at BENCH3D_CPU_N (default 32)
+    and dof-scales linearly -- matvec/V-cycle work is O(dofs)."""
+    if os.environ.get("BENCH_EXTRA_PROXY", "1") == "0":
+        return None, None
+    env = dict(os.environ)
+    env["BENCH_CONFIG"] = config
+    scale = 1.0
+    if config == "heat3d":
+        n_dev = int(env.get("BENCH3D_N", "64"))
+        n_cpu = int(env.get("BENCH3D_CPU_N", "32"))
+        env["_BENCH3D_N_OVERRIDE"] = str(n_cpu)
+        scale = (n_dev / n_cpu) ** 3
+    try:
+        p = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_extra.py"), "--cpu-proxy"],
+            capture_output=True, text=True, env=env,
+            timeout=int(os.environ.get("BENCH_EXTRA_PROXY_TIMEOUT",
+                                       "5400")))
+        for line in p.stdout.splitlines():
+            if line.startswith("CPU_PROXY_JSON:"):
+                info = json.loads(line[len("CPU_PROXY_JSON:"):])
+                return info["seconds"] * scale, info
+    except Exception:
+        pass
+    return None, None
+
+
 def run_extra(config):
-    """Secondary configs (BENCH_CONFIG=poisson|convdiff|stokes) run through
-    the high-level API twice: the first call pays compilation, the second
-    hits the problem-layer solve-kernel cache -- its time is the amortized
-    per-solve cost users see."""
+    """Secondary configs (BENCH_CONFIG=poisson|convdiff|stokes|nse|heat3d)
+    run through the high-level API twice: the first call pays compilation,
+    the second hits the problem-layer solve-kernel cache -- its time is
+    the amortized per-solve cost users see.  vs_baseline compares against
+    the f64 reference-recipe CPU proxy (same protocol)."""
     t0 = time.time()
     try:
         from bench_extra import build_extra
@@ -207,12 +240,18 @@ def run_extra(config):
         first_s = time.time() - t0
         t1 = time.time()
         info = run()
+        value = round(time.time() - t1, 3)
         out = {"metric": f"{config}_kkt_solve",
-               "value": round(time.time() - t1, 3), "unit": "s",
+               "value": value, "unit": "s",
                "vs_baseline": 0.0, "iterations": info.iterations,
                "converged": info.converged,
                "first_call_seconds": round(first_s, 2),
                "backend": jax.default_backend()}
+        cpu_s, cpu_info = _extra_proxy_seconds(config)
+        if cpu_s and value > 0:
+            out["vs_baseline"] = round(cpu_s / value, 3)
+            out["cpu_proxy_seconds"] = cpu_s
+            out["cpu_proxy_iterations"] = cpu_info.get("iterations")
     except Exception as e:  # pragma: no cover
         out = {"metric": f"{config}_kkt_solve", "value": -1.0,
                "unit": "s", "vs_baseline": 0.0,

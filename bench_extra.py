@@ -1,5 +1,34 @@
 """Secondary BASELINE benchmark configs (BENCH_CONFIG=poisson|convdiff|
-stokes): one KKT solve each through the public problem-layer API."""
+stokes|nse|heat3d): one KKT solve each through the public problem-layer
+API, plus the matching f64 CPU reference proxy.
+
+Device measurement: float32, ParaDiag sweeps where the config is
+instationary (the TPU algorithm).  Proxy (``--cpu-proxy`` / the
+``build_extra(..., proxy=True)`` path): float64 + exact sequential scan
+sweeps on the CPU backend -- the same algorithm the reference executes
+serially through PETSc/BoomerAMG, so ``vs_baseline`` compares against an
+honest same-host stand-in for the reference stack (same pattern as the
+flagship proxy in bench.py).
+
+Size knobs: BENCH_STOKES_N / BENCH_STOKES_NT (default 64 x 32 -- the
+production shape; 16:16 reproduces the round-4 toy artifact),
+BENCH3D_N / BENCH3D_NT, BENCH3D_CPU_N (reduced-size 3-D proxy,
+dof-scaled linearly -- V-cycle/matvec work is O(dofs)).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+import jax
+
+# the backend/dtype config must land before control_tpu touches jax state
+if __name__ == "__main__" and "--cpu-proxy" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
 
@@ -9,8 +38,32 @@ from control_tpu import (Control, UnitSquareMesh, RectangleMesh,
                          grad, inner, dot, dx, as_vector, sin, pi)
 
 
-def build_extra(config):
-    dtype = jnp.float32
+def _instationary_sweeps(ctl, proxy):
+    """Schur-sweep selection: reference-recipe scan for the proxy, the
+    ParaDiag TPU algorithm for the device measurement (same split as the
+    flagship bench.py)."""
+    if proxy:
+        ctl.set_schur_sweep("scan")
+        return
+    mode = os.environ.get("BENCH_EXTRA_SCHUR", "paradiag")
+    if mode == "paradiag":
+        sm = os.environ.get("BENCH_PD_SMOOTH")
+        ctl.set_schur_sweep(
+            "paradiag",
+            paradiag_cycles=(int(os.environ["BENCH_PD_CYCLES"])
+                             if os.environ.get("BENCH_PD_CYCLES")
+                             else None),
+            smooth=(int(sm), int(sm)) if sm else None,
+            weight_dtype=os.environ.get("BENCH_PD_WEIGHT_DTYPE"))
+    else:
+        ctl.set_schur_sweep(mode)
+    ms = os.environ.get("BENCH_MASS_STEPS")
+    if ms:
+        ctl.set_mass_solver_steps(int(ms))
+
+
+def build_extra(config, proxy=False):
+    dtype = jnp.float64 if proxy else jnp.float32
     if config == "poisson":
         # stationary Poisson distributed control, 256^2 Q1
         mesh = UnitSquareMesh(256, 256, quadrilateral=True, dtype=dtype)
@@ -75,6 +128,8 @@ def build_extra(config):
                                    force_f=ff, beta=1e-2, n_t=16,
                                    time_interval=(0.0, 2.0), CN=True,
                                    bcs_v=bc_t)
+        if proxy:
+            ctl.set_schur_sweep("scan")
 
         def run():
             ctl.linear_solve(lambda_v_bounds=(0.25, 2.25),
@@ -91,11 +146,12 @@ def build_extra(config):
         return run
 
     if config == "stokes":
-        # instationary Stokes control (Taylor-Hood Q2-Q1), 16^2 x 16.
-        # On TPU this runs through the host-loop FGMRES (the fused program
-        # faults the single-chip backend); larger configurations compile
-        # too slowly on the remote axon compiler (32^2 x 16 > 1 h)
-        mesh = UnitSquareMesh(16, 16, quadrilateral=True, dtype=dtype)
+        # instationary Stokes control (Taylor-Hood Q2-Q1).  Default is the
+        # production shape 64^2 x 32 (VERDICT r4 #2); BENCH_STOKES_N=16
+        # BENCH_STOKES_NT=16 reproduces the round-4 toy artifact.
+        n_s = int(os.environ.get("BENCH_STOKES_N", "64"))
+        nt_s = int(os.environ.get("BENCH_STOKES_NT", "32"))
+        mesh = UnitSquareMesh(n_s, n_s, quadrilateral=True, dtype=dtype)
         space_v = VectorFunctionSpace(mesh, "Lagrange", 2)
         space_p = FunctionSpace(mesh, "Lagrange", 1)
 
@@ -117,14 +173,13 @@ def build_extra(config):
 
         ctl = Control.Instationary(space_v, fdo, desired_state=ds_,
                                    force_f=ff, beta=1e-2, space_p=space_p,
-                                   n_t=16, time_interval=(0.0, 1.0),
+                                   n_t=nt_s, time_interval=(0.0, 1.0),
                                    CN=True, bcs_v=bc_t)
-        import os as _os
-        if _os.environ.get("CONTROL_TPU_FUSED_INCOMPRESSIBLE") == "1":
-            # the single fused-program solve: proven on TPU this round
-            # (75 s vs 165 s host loop); opt-in here to keep the default
-            # artifact comparable across rounds
+        _instationary_sweeps(ctl, proxy)
+        if os.environ.get("CONTROL_TPU_FUSED_INCOMPRESSIBLE") == "1":
             ctl.set_incompressible_execution("fused")
+        elif os.environ.get("CONTROL_TPU_FUSED_INCOMPRESSIBLE") == "0":
+            ctl.set_incompressible_execution("host")
 
         def run():
             ctl.incompressible_linear_solve(
@@ -172,6 +227,8 @@ def build_extra(config):
                                    force_f=ff, beta=1e-1, space_p=space_p,
                                    n_t=8, time_interval=(0.0, 1.0),
                                    CN=True, bcs_v=bc_t)
+        if proxy:
+            ctl.set_schur_sweep("scan")
 
         def run():
             ctl.incompressible_non_linear_solve(
@@ -192,9 +249,10 @@ def build_extra(config):
 
     if config == "heat3d":
         # 3-D instationary heat control (capability extension; 64^3 Q1,
-        # n_t=16, CN, ParaDiag sweeps)
-        import os
-        n3 = int(os.environ.get("BENCH3D_N", "64"))
+        # n_t=16, CN, ParaDiag sweeps).  The proxy runs at BENCH3D_CPU_N
+        # (default 32) and is dof-scaled linearly by the caller.
+        n3 = int(os.environ.get("_BENCH3D_N_OVERRIDE",
+                                os.environ.get("BENCH3D_N", "64")))
         nt3 = int(os.environ.get("BENCH3D_NT", "16"))
         from control_tpu import UnitCubeMesh
         mesh = UnitCubeMesh(n3, n3, n3, dtype=dtype)
@@ -219,18 +277,7 @@ def build_extra(config):
                                    force_f=ff, beta=1e-4, n_t=nt3,
                                    time_interval=(0.0, 2.0), CN=True,
                                    bcs_v=bc_t)
-        # same env knobs as the flagship 2-D bench (bench.py)
-        sm = os.environ.get("BENCH_PD_SMOOTH")
-        ctl.set_schur_sweep(
-            "paradiag",
-            paradiag_cycles=(int(os.environ["BENCH_PD_CYCLES"])
-                             if os.environ.get("BENCH_PD_CYCLES")
-                             else None),
-            smooth=(int(sm), int(sm)) if sm else None,
-            weight_dtype=os.environ.get("BENCH_PD_WEIGHT_DTYPE"))
-        ms3 = os.environ.get("BENCH_MASS_STEPS")
-        if ms3:
-            ctl.set_mass_solver_steps(int(ms3))
+        _instationary_sweeps(ctl, proxy)
 
         def run():
             ctl.linear_solve(
@@ -246,3 +293,33 @@ def build_extra(config):
         return run
 
     raise ValueError(f"unknown BENCH_CONFIG {config!r}")
+
+
+def _cpu_proxy_main(config):
+    """Run the f64 reference-recipe proxy of ``config`` on the CPU backend
+    and print CPU_PROXY_JSON (first call pays compilation; the timed
+    second call is the amortized per-solve cost, matching the device
+    measurement protocol in bench.py::run_extra).  The backend config is
+    applied at import time (see the top of this module)."""
+    from control_tpu.models.common import host_setup
+    with host_setup():
+        run = build_extra(config, proxy=True)
+    info = run()                      # compile + first solve
+    t0 = time.time()
+    info = run()                      # cached executable
+    out = {"seconds": round(time.time() - t0, 3),
+           "iterations": int(info.iterations),
+           "converged": bool(info.converged),
+           "backend": jax.default_backend(), "dtype": "float64",
+           "mode": "scan"}
+    print("CPU_PROXY_JSON:" + json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    cfg = os.environ.get("BENCH_CONFIG")
+    if not cfg:
+        sys.exit("set BENCH_CONFIG")
+    if "--cpu-proxy" in sys.argv:
+        _cpu_proxy_main(cfg)
+    else:
+        sys.exit("use bench.py (BENCH_CONFIG set) for the device path")

@@ -1039,6 +1039,21 @@ class Instationary:
         usually holds the outer iteration count at half the cost)."""
         self._mass_cheb_steps = None if steps is None else int(steps)
 
+    def set_epsilon(self, epsilon):
+        """Backward-Euler final-time-block regularization parameter
+        (the reference hardcodes epsilon = 1e-3, control/control.py:2836;
+        the BE (1,1) block has a zero final diagonal block so the pc
+        substitutes eps*tau*M for it).  None restores the default."""
+        if self._CN and epsilon is not None:
+            raise ValueError("epsilon applies to backward Euler only")
+        if epsilon is None:
+            self.__dict__.pop("_be_epsilon", None)
+        else:
+            eps = float(epsilon)
+            if not 0.0 < eps <= 1.0:
+                raise ValueError("epsilon must lie in (0, 1]")
+            self._be_epsilon = eps
+
     def set_incompressible_execution(self, mode=None):
         """How the incompressible KKT solve executes on accelerators:
         "fused" -- the whole solve is ONE XLA program (fastest when it
@@ -1891,12 +1906,17 @@ class Instationary:
                                     lambda_p_bounds=None, v_d=None, f=None,
                                     div_v=None, div_zeta=None,
                                     print_error=True, create_output=True,
-                                    plots=False):
+                                    plots=False, _return_pieces=False):
         """Space-time Stokes/Navier-Stokes KKT solve with the nested
         preconditioner (reference control/control.py:3592-4884): inner
         fixed-5-iteration GMRES on the full space-time velocity KKT plus a
         per-time-block pressure Schur K_p^{-1} (KKT_p) M_p^{-1} with 1/tau^2
-        scaling and T sandwiches."""
+        scaling and T sandwiches.
+
+        ``_return_pieces``: internal -- skip execution and return
+        ``(system, pc_fn, b_0, b_1)`` so callers (the multichip dryrun,
+        sharding tests) can jit ``system.solve_fn(pc_fn=pc_fn)`` over a
+        device mesh with explicitly sharded operands."""
         from contextlib import ExitStack
         from ..solvers.block import BlockAction
         from .common import BlockSolver, host_setup
@@ -2081,18 +2101,26 @@ class Instationary:
                 if self._CN:
                     b0h = apply_T_2_inv(b0h)
                     b1h = apply_T_1_inv(b1h)
-                u10 = solver_K_p(b0h)
-                u11 = solver_K_p(b1h)
+                # K_p / M_p are time-independent, so the (mu, p) pair and
+                # all time blocks solve as ONE batched V-cycle / Chebyshev
+                # application of 2n blocks (the reference loops each block
+                # separately, control/control.py:4430-4445,4494-4508)
+                u1k = solver_K_p(jnp.concatenate([b0h, b1h]))
+                u10, u11 = u1k[:n], u1k[n:]
                 c0 = act_00.apply(u10) + act_01.apply(u11)
                 c1 = act_10.apply(u10) + act_11.apply(u11)
-                u10 = solver_M_p(c0)
-                u11 = solver_M_p(c1)
-                return u_0, jnp.concatenate([u10, u11])
+                u1m = solver_M_p(jnp.concatenate([c0, c1]))
+                return u_0, u1m
 
             pc_fn.state = {"inner": inner_pc.state,
                            "K_p": solver_K_p.state,
                            "M_p": solver_M_p.state}
             return system, pc_fn
+
+        if _return_pieces:
+            system, pc_fn = make_pieces(Dv_A, Dp_A, M)
+            _hs.close()
+            return system, pc_fn, b_0, b_1
 
         def build64():
             # f64 operator + corrected rhs for the refinement residuals

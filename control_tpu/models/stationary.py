@@ -734,13 +734,14 @@ class Stationary:
                         u_0 = jnp.stack([v_help, zeta_help])
                         b0h = B.apply(v_help) - b_1[0]
                         b1h = B.apply(zeta_help) - b_1[1]
-                        u10 = solver_K_p(b0h)
-                        u11 = solver_K_p(b1h)
+                        # one batched V-cycle / Chebyshev over the (mu, p)
+                        # pair (the reference solves them separately,
+                        # control/control.py:1042-1051,1071-1080)
+                        u1k = solver_K_p(jnp.stack([b0h, b1h]))
+                        u10, u11 = u1k[0], u1k[1]
                         c0 = M_p_op.apply(u10) + D_mu_t.apply(u11)
                         c1 = D_p_t.apply(u10) + M_mu_op.apply(u11)
-                        u10 = solver_M_p(c0)
-                        u11 = solver_M_p(c1)
-                        return u_0, jnp.stack([u10, u11])
+                        return u_0, solver_M_p(jnp.stack([c0, c1]))
 
                 pc_fn.state = {"inner": inner_pc1.state,
                                "K_p": solver_K_p.state,

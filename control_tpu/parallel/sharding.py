@@ -58,6 +58,19 @@ def shard_stack(x, mesh, space, leading_axes=1):
     return jax.device_put(x, grid_sharding(mesh, space, leading_axes))
 
 
+def constrain_stack(x, mesh, space, leading_axes=1):
+    """In-trace spatial sharding of a stacked grid array.
+
+    ``jax.device_put`` requires shard-divisible dimensions, which odd-sized
+    node grids (any Q2 space has 2n+1 nodes per axis) can never satisfy on
+    an even device mesh; ``lax.with_sharding_constraint`` inside jit goes
+    through the GSPMD partitioner, which pads uneven shards internally.
+    Wrap solve inputs with this inside a jitted caller to run the whole
+    program SPMD over the mesh."""
+    return jax.lax.with_sharding_constraint(
+        x, grid_sharding(mesh, space, leading_axes))
+
+
 def make_time_mesh(n_devices=None, devices=None):
     """A 1-D device mesh over the time-block ("sequence") axis."""
     if devices is None:

@@ -102,6 +102,71 @@ def test_spacetime_sharded_solve_matches_single_device():
     assert float(jnp.abs(z_s - z_ref).max()) < 1e-11
 
 
+def test_sharded_incompressible_solve_matches_single_device():
+    """Spatial sharding of the INCOMPRESSIBLE (Stokes control) path:
+    vector velocity + pressure + the nested inner-GMRES(5) /
+    pressure-Schur pc in one SPMD program.  The reference runs its whole
+    suite -- Stokes included -- at 4 MPI ranks (reference
+    test/test_control.py:21-23)."""
+    assert len(jax.devices()) >= 8
+    from control_tpu import (Control, UnitSquareMesh, VectorFunctionSpace,
+                             FunctionSpace, Function, DirichletBC,
+                             SpatialCoordinate, ConstantNullspace, grad,
+                             inner, dx, sin, pi)
+    smesh = UnitSquareMesh(8, 8, quadrilateral=True)
+    space_v = VectorFunctionSpace(smesh, "Lagrange", 2)
+    space_p = FunctionSpace(smesh, "Lagrange", 1)
+    X = SpatialCoordinate(smesh)
+
+    def fdo(trial, test, u, t):
+        return inner(grad(trial), grad(test)) * dx
+
+    def ds_(test, t):
+        v_d = Function(space_v).interpolate(
+            (0.2 * sin(pi * X[0]) * sin(pi * X[1]),
+             0.1 * sin(2 * pi * X[0]) * sin(pi * X[1])))
+        return inner(v_d, test) * dx, v_d
+
+    def ff(test, t):
+        return inner(Function(space_v), test) * dx
+
+    def bc_t(s, t):
+        return DirichletBC(s, (0.0, 0.0), "on_boundary")
+
+    ctl = Control.Instationary(space_v, fdo, desired_state=ds_,
+                               force_f=ff, beta=1e-2, space_p=space_p,
+                               n_t=4, time_interval=(0.0, 1.0), CN=True,
+                               bcs_v=bc_t)
+    system, pc_fn, b_0, b_1 = ctl.incompressible_linear_solve(
+        ConstantNullspace(), lambda_v_bounds=(0.25, 1.5625),
+        lambda_p_bounds=(0.25, 2.25), _return_pieces=True)
+    params = {"linear_solver": "fgmres", "fgmres_restart": 10,
+              "maximum_iterations": 100, "relative_tolerance": 1e-8,
+              "absolute_tolerance": 0.0}
+    base_solve = system.solve_fn(solver_parameters=params, pc_fn=pc_fn)
+    solve = jax.jit(base_solve)
+    z0, z1 = 0.0 * b_0, 0.0 * b_1
+    v_ref, p_ref, info_ref = solve(z0, z1, b_0, b_1)
+
+    # Q2 node grids are odd-sized (2n+1): sharding goes through the GSPMD
+    # partitioner in-trace (pads uneven shards) instead of device_put
+    from control_tpu.parallel.sharding import constrain_stack
+    mesh = make_device_mesh(devices=jax.devices()[:8])
+
+    def solve_sharded(u0, u1, c0, c1):
+        u0 = constrain_stack(u0, mesh, space_v)
+        u1 = constrain_stack(u1, mesh, space_p)
+        c0 = constrain_stack(c0, mesh, space_v)
+        c1 = constrain_stack(c1, mesh, space_p)
+        return base_solve(u0, u1, c0, c1)
+
+    v_s, p_s, info_s = jax.jit(solve_sharded)(z0, z1, b_0, b_1)
+
+    assert int(info_s["iterations"]) == int(info_ref["iterations"])
+    assert float(jnp.abs(v_s - v_ref).max()) < 1e-10
+    assert float(jnp.abs(p_s - p_ref).max()) < 1e-10
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
