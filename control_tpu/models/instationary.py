@@ -139,13 +139,15 @@ class _SweepSolver:
         return self.space.scatter_add(
             jnp.matmul(S_i, xe[..., None])[..., 0])
 
-    def solve_jacobi(self, b, reverse=False, steps=12):
+    def solve_jacobi(self, b, reverse=False, steps=12, last_sub_scale=1.0):
         """Parallel-in-time truncated block-Jacobi substitution:
         u^{m+1} = F^{-1}(b - S u^m), exact after n steps (S is a block
         sub-diagonal shift).  All time blocks solve their V-cycles
         simultaneously as one batched kernel -- trading the scan's
         sequential latency for a small truncation error that decays like
         rho^steps with rho = |(c-1)/(c+1)| on mass-dominated modes."""
+        if last_sub_scale != 1.0 and reverse:
+            raise ValueError("last_sub_scale supports forward sweeps only")
         n = b.shape[0]
         steps = min(steps, n)
         mask = self.mask
@@ -185,12 +187,17 @@ class _SweepSolver:
         u = Fsolve(zero_rows(mk, b))
 
         def body(_, u):
-            return Fsolve(zero_rows(mk, b - S_all(u)))
+            s = S_all(u)
+            if last_sub_scale != 1.0:
+                s = s.at[n - 1].multiply(last_sub_scale)
+            return Fsolve(zero_rows(mk, b - s))
 
         u = jax.lax.fori_loop(0, steps - 1, body, u)
         return u[::-1] if reverse else u
 
-    def solve(self, b, reverse=False):
+    def solve(self, b, reverse=False, last_sub_scale=1.0):
+        if last_sub_scale != 1.0 and reverse:
+            raise ValueError("last_sub_scale supports forward sweeps only")
         n = b.shape[0]
         mask = self.mask
         params = self.params
@@ -204,6 +211,11 @@ class _SweepSolver:
                 sub = sub[::-1]
 
         has_sub = jnp.arange(n) > 0
+        if last_sub_scale != 1.0:
+            # Sigma-conjugated factor (BE final-block stabilisation): the
+            # sub-diagonal coupling INTO the last row is scaled by eps
+            has_sub = jnp.where(jnp.arange(n) == n - 1,
+                                jnp.asarray(last_sub_scale), has_sub)
         use_sub = sub is not None
         if use_sub:
             if sub.shape[0] == 1:
@@ -443,8 +455,10 @@ class _BEParaDiagSweep:
         self.state = {"e_first": e_first, "e_last": e_last, "wS": wS,
                       "mid": self.mid.state}
 
-    def solve(self, b, reverse=False):
+    def solve(self, b, reverse=False, last_sub_scale=1.0):
         from ..ops.stencil import apply_stencil
+        if last_sub_scale != 1.0 and reverse:
+            raise ValueError("last_sub_scale supports forward sweeps only")
         mk = self.mask[None] if self.mask is not None else None
         if reverse:
             b = b[::-1]
@@ -457,7 +471,7 @@ class _BEParaDiagSweep:
         bm = zero_rows(mk, b[1:-1].at[0].add(-s_u0))
         um = self.mid.solve(bm)
         s_ul = apply_stencil(self._wS[0], um[-1], d, nd=nd)
-        bl = zero_rows(self.mask, b[-1] - s_ul)
+        bl = zero_rows(self.mask, b[-1] - last_sub_scale * s_ul)
         ul = self.edge_config.apply(last, bl, cycles=self.cycles)
         u = zero_rows(mk, jnp.concatenate([u0[None], um, ul[None]]))
         return u[::-1] if reverse else u
@@ -937,9 +951,10 @@ class Instationary:
                 mode = "scan"
         if mode == "jacobi":
             k = steps or 12
-            return lambda solver, b, rev: solver.solve_jacobi(b, reverse=rev,
-                                                              steps=k)
-        return lambda solver, b, rev: solver.solve(b, reverse=rev)
+            return lambda solver, b, rev, ls=1.0: solver.solve_jacobi(
+                b, reverse=rev, steps=k, last_sub_scale=ls)
+        return lambda solver, b, rev, ls=1.0: solver.solve(
+            b, reverse=rev, last_sub_scale=ls)
 
     def _make_sweeps(self, space, mask, F_diag, F_sub, G_diag, G_sup, c, n,
                      toeplitz_factors=None, prebuilt=None,
@@ -970,8 +985,9 @@ class Instationary:
             bwd = _BEParaDiagSweep(space, mask, G_diag, G_sup, n,
                                    state=None if prebuilt is None
                                    else prebuilt["bwd"], **kw)
-            return fwd, bwd, (lambda solver, b, rev:
-                              solver.solve(b, reverse=rev))
+            return fwd, bwd, (lambda solver, b, rev, ls=1.0:
+                              solver.solve(b, reverse=rev,
+                                           last_sub_scale=ls))
         if mode in ("auto", "paradiag") and n > 1:
             alpha = getattr(self, "_paradiag_alpha", None)
             if toeplitz:
@@ -997,8 +1013,12 @@ class Instationary:
                                      weight_dtype=wdt,
                                      state=None if prebuilt is None
                                      else prebuilt["bwd"])
-                return fwd, bwd, (lambda solver, b, rev:
-                                  solver.solve(b, reverse=rev))
+                def _toep_sweep(solver, b, rev, ls=1.0):
+                    if ls != 1.0:
+                        raise ValueError("last_sub_scale needs row-"
+                                         "resolved sweep factors")
+                    return solver.solve(b, reverse=rev)
+                return fwd, bwd, _toep_sweep
         if mode in ("paradiag", "auto"):
             mode = "scan"
         fwd = _SweepSolver(space, mask, F_diag, F_sub,
@@ -1188,20 +1208,38 @@ class Instationary:
         ap_M = _fast_stack_applier(sp, M_A[None])
 
         def pc_linear(b_0, b_1):
+            # The reference amplifies the final (1,1) block by 1/eps = 1e3
+            # and rescales by eps after the forward sweep
+            # (control/control.py:2205-2206,2312,2348,2358).  Done
+            # literally, every intermediate of the Schur chain carries the
+            # 1e3 factor, and in f32 at flagship conditioning the rounding
+            # noise it amplifies makes the pc useless (measured: total
+            # outer-GMRES stagnation at 256^2 x 64, tools/tpu_results/
+            # be_parity.json).  Conjugating the chain by
+            # Sigma = diag(1, ..., 1, eps) over time blocks is
+            # algebraically identical but keeps every intermediate O(1):
+            #   b^  = (Sigma B Sigma^-1) u~0 - Sigma b_1,
+            #   u^1 = (Sigma F Sigma^-1)^-1 b^   [= Sigma u_1],
+            #   b2  = tau M u^1                  [= the eps-scaled rhs],
+            # where u~0 is the UNAMPLIFIED mass solve and the conjugated
+            # operators simply scale the sub-diagonal coupling into the
+            # final row by eps (last_sub_scale).
             u_0 = (1.0 / tau) * solver_0(b_0)
-            u_0 = u_0.at[n - 1].multiply(1.0 / eps)
-            # b = block_10 u0 - b1 (rowwise bcs)
+            # b^ = block_10 u~0 - b1, final-row couplings eps-scaled
             b = ap_diag(u_0)
             sub = ap_sub(u_0[:-1])
+            sub = sub.at[n - 2].multiply(eps)
             b = b.at[1:].add(sub)
-            b = b - b_1
+            b = b - b_1.at[n - 1].multiply(eps)
             b = zero_rows(mask[None] if mask is not None else None, b)
-            u_1 = sweep(fwd, b, False)
-            # multiply tau M (eps tau M on the final block)
+            u_1 = sweep(fwd, b, False, eps)
+            # multiply tau M; the final block is already eps-scaled
             b = tau * ap_M(u_1)
-            b = b.at[n - 1].multiply(eps)
             b = zero_rows(mask[None] if mask is not None else None, b)
             u_1 = sweep(bwd, b, True)
+            # the amplified final (1,1) output block, computed directly
+            # from the benign mass solve (error ~ u * kappa(M) only)
+            u_0 = u_0.at[n - 1].multiply(1.0 / eps)
             return u_0, u_1
 
         pc_linear.state = {"solver_0": solver_0.state,

@@ -33,8 +33,18 @@ os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-if os.environ.get("BE_DTYPE", "float64") == "float64":
+_BACKEND = os.environ.get("BE_BACKEND", "cpu")
+if _BACKEND == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+elif os.environ.get("JAX_PLATFORMS"):
+    # run on the ambient accelerator; keep "cpu" registered for host setup
+    # (same logic as bench.py)
+    _plats = os.environ["JAX_PLATFORMS"]
+    if "cpu" not in _plats.split(","):
+        _plats += ",cpu"
+    jax.config.update("jax_platforms", _plats)
+_DTYPE_DEFAULT = "float64" if _BACKEND == "cpu" else "float32"
+if os.environ.get("BE_DTYPE", _DTYPE_DEFAULT) == "float64":
     jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_matmul_precision", "highest")
 
@@ -97,6 +107,14 @@ def run_one(n, n_t, dtype_name, mode, maxit, restart=10):
                             create_output=False, plots=False)
     wall = time.time() - t0
     rel = float(info.rnorm / info.rnorm0) if info.rnorm0 else 0.0
+    if os.environ.get("BE_HIST", "0") == "1":
+        import numpy as np
+        rs = np.asarray(info.res_norms)
+        rs = rs[np.isfinite(rs)]
+        idx = np.unique(np.linspace(0, len(rs) - 1,
+                                    min(len(rs), 40)).astype(int))
+        for i in idx:
+            print(f"  hist[{i:4d}] = {rs[i]:.6e}", flush=True)
     return {"config": f"heat_BE_{n}x{n}_nt{n_t}",
             "n": n, "n_t": n_t, "dtype": dtype_name, "mode": mode,
             "epsilon": float(eps) if eps else 1e-3,
@@ -112,7 +130,7 @@ def main():
     sizes = os.environ.get("BE_SIZES", "64:64 128:64 256:64").split()
     maxit = int(os.environ.get("BE_MAXIT", "200"))
     mode = os.environ.get("BE_MODE", "scan")
-    dtype_name = os.environ.get("BE_DTYPE", "float64")
+    dtype_name = os.environ.get("BE_DTYPE", _DTYPE_DEFAULT)
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "tpu_results", "be_parity.json")
     merged = {}
@@ -126,6 +144,10 @@ def main():
         n, n_t = (int(x) for x in s.split(":"))
         row = run_one(n, n_t, dtype_name, mode, maxit)
         row["key"] = f"{row['config']}_{mode}_{dtype_name}_eps{row['epsilon']}"
+        tag = os.environ.get("BE_TAG")
+        if tag:
+            row["tag"] = tag
+            row["key"] += f"_{tag}"
         merged[row["key"]] = row
         print("BE_PARITY_JSON:" + json.dumps(row), flush=True)
         with open(out_path, "w") as f:
