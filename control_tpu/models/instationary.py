@@ -1488,8 +1488,23 @@ class Instationary:
                     n_blocks_00=n_blocks, n_blocks_11=n_blocks,
                     nullspace_0=full_ns, nullspace_1=full_ns,
                     CN=self._CN)
+                # BE: run the Krylov iteration on the similarity-
+                # transformed system whose final state-block unknown is
+                # scaled by eps -- the built-in pc legitimately amplifies
+                # that block by 1/eps (reference control/control.py:
+                # 2205-2206), which makes f32 Krylov vectors span ~8
+                # orders of magnitude and buries every other component
+                # below the f32 rounding floor (measured: total outer
+                # stagnation at 256^2 x 64).  The transform leaves the
+                # preconditioned spectrum unchanged.
+                uscale = None
+                if not self._CN and P is None:
+                    s0 = jnp.ones((n_blocks,), space_v.mesh.dtype)
+                    s0 = s0.at[n_blocks - 1].set(1.0 / epsilon)
+                    uscale = (s0, None)
                 solve = system.solve_fn(solver_parameters=sp_params,
-                                        pc_fn=pc_fn)
+                                        pc_fn=pc_fn,
+                                        unknown_scale=uscale)
                 return solve(u_0, u_1, b_0, b_1)
 
             if P is not None:

@@ -510,10 +510,22 @@ class MultiBlockSystem:
             raise ValueError(f"unknown linear_solver {method!r}")
         return method, flexible
 
-    def solve_fn(self, solver_parameters=None, pc_fn=None):
+    def solve_fn(self, solver_parameters=None, pc_fn=None,
+                 unknown_scale=None):
         """A pure, traceable function
         (u0, u1, b0, b1) -> (u0, u1, info_dict); suitable for nesting
-        inside outer preconditioners."""
+        inside outer preconditioners.
+
+        ``unknown_scale``: optional ``(s0, s1)`` per-block diagonal
+        similarity transform of the Krylov iteration (each an
+        (n_blocks,)-shaped array or None).  The solve runs on
+        A' = A Sigma, M' = Sigma^{-1} M with Sigma = blockdiag(s),
+        x = Sigma x'.  The preconditioned spectrum is unchanged
+        (similarity), but the Krylov vectors carry Sigma^{-1}-scaled
+        components -- used to keep the BE epsilon-amplified final state
+        block representable in f32 (low-precision extension; the
+        reference runs f64 where the amplified components stay above the
+        rounding floor)."""
         sp = dict(solver_parameters or {})
         method, flexible = self._resolve_solver_parameters(sp)
         if method == "gmres" and flexible:
@@ -542,16 +554,41 @@ class MultiBlockSystem:
         def operator(x):
             return self.mult(*x)
 
+        if unknown_scale is not None:
+            s0v, s1v = unknown_scale
+
+            def _sc(s, x, inv=False):
+                if s is None:
+                    return x
+                sv = jnp.asarray(s, x.dtype).reshape(
+                    (-1,) + (1,) * (x.ndim - 1))
+                return x / sv if inv else x * sv
+
+            base_op, base_pc = operator, wrapped_pc
+
+            def operator(x):
+                return base_op((_sc(s0v, x[0]), _sc(s1v, x[1])))
+
+            def wrapped_pc(b):
+                u0, u1 = base_pc(b)
+                return _sc(s0v, u0, inv=True), _sc(s1v, u1, inv=True)
+
         def fn(u0, u1, b0, b1):
             u0 = _apply_per_block(self.ns0, "correct_soln", u0)
             u1 = _apply_per_block(self.ns1, "correct_soln", u1)
             b0 = _apply_per_block(self.ns0, "correct_rhs", b0)
             b1 = _apply_per_block(self.ns1, "correct_rhs", b1)
+            if unknown_scale is not None:
+                u0 = _sc(s0v, u0, inv=True)
+                u1 = _sc(s1v, u1, inv=True)
             x, info = krylov.solve_krylov(
                 method, operator, (b0, b1), x0=(u0, u1), M=wrapped_pc,
                 restart=restart, rtol=rtol, atol=atol, maxiter=maxiter,
                 dtol=dtol)
             u0, u1 = x
+            if unknown_scale is not None:
+                u0 = _sc(s0v, u0)
+                u1 = _sc(s1v, u1)
             u0 = _apply_per_block(self.ns0, "correct_soln", u0)
             u1 = _apply_per_block(self.ns1, "correct_soln", u1)
             return u0, u1, info
