@@ -119,11 +119,29 @@ def _heat_problem(n, n_t, dtype_name, mode, CN=None):
     return ctl
 
 
-_SOLVER_PARAMS = {"linear_solver": "gmres", "gmres_restart": 10,
-                  "maximum_iterations": int(os.environ.get("BENCH_MAXIT",
-                                                           "50")),
+_SOLVER_PARAMS = {"linear_solver": "gmres",
+                  # BE (BENCH_CN=0) on the accelerator needs the longer
+                  # restart: f32 noise at flagship scale makes GMRES(10)
+                  # restart cycles saw-tooth (tools/tpu_results/
+                  # be_parity.json, tags sim/sim-r30); GMRES(30) converges
+                  # in 53 iterations at rtol 1e-6
+                  "gmres_restart": int(os.environ.get(
+                      "BENCH_RESTART",
+                      "10" if os.environ.get("BENCH_CN", "1") != "0"
+                      else "30")),
+                  "maximum_iterations": int(os.environ.get(
+                      "BENCH_MAXIT",
+                      "50" if os.environ.get("BENCH_CN", "1") != "0"
+                      else "100")),
                   "relative_tolerance": 1.0e-6,
                   "absolute_tolerance": 0.0, "monitor_convergence": False}
+# BENCH_IR=k: mixed-precision iterative refinement around the f32 device
+# solve (f64 true-residual corrections on the host) -- the BE flagship
+# needs it on TPU, where the f32 noise floor sits ~1e-2 above rtol
+if os.environ.get("BENCH_IR"):
+    _SOLVER_PARAMS["iterative_refinement"] = int(os.environ["BENCH_IR"])
+    _SOLVER_PARAMS["refinement_inner_tolerance"] = float(
+        os.environ.get("BENCH_IR_TOL", "1e-2"))
 
 
 def heat_time(n, n_t, dtype_name, mode, repeats=REPEATS):
@@ -158,6 +176,11 @@ def heat_time(n, n_t, dtype_name, mode, repeats=REPEATS):
     # transfer overhead, which a locally-attached TPU would not pay
     best = min(range(len(times)),
                key=lambda i: splits[i].get("kernel_s", times[i]))
+    if "iterative_refinement" in _SOLVER_PARAMS:
+        # refinement interleaves device solves with host f64 residual
+        # steps; the honest per-solve figure is end-to-end wall time
+        best = min(range(len(times)), key=lambda i: times[i])
+        splits[best] = {}
     out = {"seconds": float(splits[best].get("kernel_s", times[best])),
            "end_to_end_seconds": float(times[best]),
            "iterations": int(info.iterations),

@@ -54,7 +54,8 @@ from control_tpu.config import enable_compilation_cache  # noqa: E402
 enable_compilation_cache()
 
 
-def run_one(n, n_t, dtype_name, mode, maxit, restart=10):
+def run_one(n, n_t, dtype_name, mode, maxit,
+            restart=int(os.environ.get("BE_RESTART", "10"))):
     import jax.numpy as jnp
     from control_tpu import (Control, UnitSquareMesh, FunctionSpace,
                              Function, DirichletBC, SpatialCoordinate,
@@ -101,6 +102,13 @@ def run_one(n, n_t, dtype_name, mode, maxit, restart=10):
           "monitor_convergence": os.environ.get("BE_MONITOR", "0") == "1",
           # record the count instead of raising on budget exhaustion
           "preconditioner": True}
+    ir = int(os.environ.get("BE_IR", "0"))
+    if ir:
+        # mixed-precision iterative refinement: f32 inner solves to the
+        # attainable BE_IR_TOL, f64 true-residual corrections on the host
+        sp["iterative_refinement"] = ir
+        sp["refinement_inner_tolerance"] = float(
+            os.environ.get("BE_IR_TOL", "1e-2"))
     t0 = time.time()
     info = ctl.linear_solve(lambda_v_bounds=(0.25, 2.25),
                             solver_parameters=sp, print_error=False,
@@ -115,15 +123,21 @@ def run_one(n, n_t, dtype_name, mode, maxit, restart=10):
                                     min(len(rs), 40)).astype(int))
         for i in idx:
             print(f"  hist[{i:4d}] = {rs[i]:.6e}", flush=True)
-    return {"config": f"heat_BE_{n}x{n}_nt{n_t}",
-            "n": n, "n_t": n_t, "dtype": dtype_name, "mode": mode,
-            "epsilon": float(eps) if eps else 1e-3,
-            "beta": float(os.environ.get("BE_BETA", "1e-4")),
-            "iterations": int(info.iterations),
-            "converged": bool(info.converged),
-            "relative_residual": rel, "maxit": maxit,
-            "wall_seconds": round(wall, 1),
-            "backend": jax.default_backend()}
+    row = {"config": f"heat_BE_{n}x{n}_nt{n_t}",
+           "n": n, "n_t": n_t, "dtype": dtype_name, "mode": mode,
+           "epsilon": float(eps) if eps else 1e-3,
+           "beta": float(os.environ.get("BE_BETA", "1e-4")),
+           "iterations": int(info.iterations),
+           "converged": bool(info.converged),
+           "relative_residual": rel, "maxit": maxit,
+           "wall_seconds": round(wall, 1),
+           "backend": jax.default_backend()}
+    if getattr(info, "refinement_steps", None) is not None:
+        row["refinement_steps"] = int(info.refinement_steps)
+        row["true_residual_rel"] = (float(info.rnorm / info.rhs_norm)
+                                    if getattr(info, "rhs_norm", 0)
+                                    else rel)
+    return row
 
 
 def main():
