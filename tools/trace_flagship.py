@@ -41,7 +41,25 @@ N = int(os.environ.get("TRACE_N", "256"))
 N_T = int(os.environ.get("TRACE_NT", "64"))
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "tpu_results")
-LOGDIR = os.path.join(OUT, "trace_r5")
+_SUFFIX = ("_" + os.environ["TRACE_CONFIG"]
+           if os.environ.get("TRACE_CONFIG") else "")
+LOGDIR = os.path.join(OUT, "trace_r5" + _SUFFIX)
+
+
+def build_and_solve_config(config):
+    """Trace any secondary bench config (TRACE_CONFIG=heat3d|stokes|...):
+    reuse bench_extra's builder so the traced program is exactly the
+    benchmarked one."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench_extra import build_extra
+    from control_tpu.models.common import host_setup
+    with host_setup():
+        run = build_extra(config)
+
+    def solve():
+        return run()
+    return solve
 
 
 def build_and_solve():
@@ -132,7 +150,8 @@ def classify(name):
 
 
 def main():
-    solve = build_and_solve()
+    config = os.environ.get("TRACE_CONFIG")
+    solve = build_and_solve_config(config) if config else build_and_solve()
     info = solve()                       # compile + warm
     print(f"warm solve: {info.iterations} its", flush=True)
     os.makedirs(LOGDIR, exist_ok=True)
@@ -180,17 +199,18 @@ def main():
     for d in classes.values():
         d["top"] = [n for _, n in sorted(d["top"], reverse=True)[:5]]
         d["self_time_us"] = round(d["self_time_us"], 1)
-    out = {"n": N, "n_t": N_T, "iterations": int(info.iterations),
+    out = {"n": N, "n_t": N_T, "config": config or "flagship_heat",
+           "iterations": int(info.iterations),
            "total_self_time_us": round(total, 1),
            "classes": classes,
            "columns_seen": list(rows[0].keys()) if rows else []}
-    with open(os.path.join(OUT, "trace_r5_ops.json"), "w") as f:
+    with open(os.path.join(OUT, f"trace_r5{_SUFFIX}_ops.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v["self_time_us"] for k, v in classes.items()},
                      indent=1))
     print(f"total device self time: {total/1e3:.1f} ms over "
           f"{info.iterations} iterations")
-    print(f"wrote {os.path.join(OUT, 'trace_r5_ops.json')}")
+    print(f"wrote {os.path.join(OUT, 'trace_r5' + _SUFFIX + '_ops.json')}")
 
 
 if __name__ == "__main__":
